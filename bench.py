@@ -1,0 +1,93 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus an index
+build+query pass over the synthesized source-code corpus, and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries", "sf", ...}.
+
+Extra keys: ``files_per_sec`` (index-build throughput, the BASELINE.md
+headline) and ``corpus_docs``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spcht_spark import demo_queries  # noqa: E402
+from spcht_spark.corpus import REFERENCE_QUERIES, generate_corpus  # noqa: E402
+from spcht_spark.index.build import build_index  # noqa: E402
+from spcht_spark.index.query import exact_topk  # noqa: E402
+from spcht_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "bm25_topk",
+    "term_stats",
+    "pricing_summary",
+    "topk_orders_per_customer",
+    "broadcast_dim_join",
+    "exact_dedup",
+    "quality_score",
+    "cosine_topk",
+]
+
+CORPUS_DOCS = int(os.environ.get("SPCHT_BENCH_CORPUS_DOCS", "4000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("spcht_spark_bench", cores=cores, shuffle_partitions=cores)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = demo_queries.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Index build + reference-query scoring over the synthesized corpus.
+    t0 = time.perf_counter()
+    corpus = generate_corpus(spark, n_docs=CORPUS_DOCS, partitions=cores * 2).cache()
+    corpus.count()
+    t_gen = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    idx = build_index(spark, corpus)
+    idx.blocks.cache().count()
+    idx.doclens.cache().count()
+    t_build = time.perf_counter() - t0
+    timings["index_build"] = round(t_build, 3)
+
+    t0 = time.perf_counter()
+    exact_topk(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, REFERENCE_QUERIES
+    ).collect()
+    timings["bm25_refqueries"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "files_per_sec": round(CORPUS_DOCS / t_build, 2),
+                "corpus_docs": CORPUS_DOCS,
+                "corpus_gen_sec": round(t_gen, 3),
+                "cores": cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

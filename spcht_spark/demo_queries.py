@@ -1,0 +1,513 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Every entry maps a SURVEY.md §2 operator (or a training-data op) onto the
+driver testdata tables (/root/testdata/sf*/). Column names/types are
+aligned pairwise with the oracle SQL (driver hashes values after sorting
+columns by name). Doubles are rounded on BOTH sides to absorb
+sum-order/libm ulp differences; ranks order by round(score, 6) with an
+id tie-break so ranking is deterministic in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf) over documents.text — whitespace tokens.
+
+    JVM-side split/explode (north-rule hot path stays in codegen)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+_TOK_SQL = """
+  tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+  tf AS (SELECT doc_id, term, count(*) AS tf
+         FROM tok WHERE term <> '' GROUP BY doc_id, term)
+"""
+
+# BM25 demo query set over the documents table (hot + rare terms).
+DOC_QUERIES: list[tuple[str, list[str]]] = [
+    ("q_spark_join", ["spark", "join"]),
+    ("q_rare_dup", ["dup"]),
+    ("q_mix3", ["window", "stream", "hash"]),
+    ("q_one", ["customer"]),
+    ("q_hot4", ["join", "hash", "row", "batch"]),
+]
+DOC_K = 10
+
+# -------------------------------------------------------- BM25 (flagship)
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 pipeline over `documents` — the flagship query.
+
+    Mirrors the index engine's scoring (spcht_spark.index.query) but
+    inline over the driver table so DuckDB can oracle-check it."""
+    tf = _doc_tokens(spark, sf_dir)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in DOC_QUERIES for t in ts], ["query_id", "term"]
+    )
+    scored = (
+        q.join(dft, "term")
+        .join(tf, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            )
+            * (F.col("tf") * F.lit(2.2))
+            / (
+                F.col("tf")
+                + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(F.round("raw", 6)), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DOC_K)
+        .select("query_id", "rank", "doc_id", F.round("raw", 4).alias("score"))
+    )
+
+
+def _bm25_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
+"""
+
+# ------------------------------------------------- index-stats aggregates
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary aggregates (SURVEY §2.4): df + cf per term."""
+    tf = _doc_tokens(spark, sf_dir)
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+Q_TERM_STATS_SQL = f"""
+WITH {_TOK_SQL}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+"""
+
+
+def q_doclen_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length distribution (avgdl inputs): corpus-stat aggregation."""
+    tf = _doc_tokens(spark, sf_dir)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return dl.groupBy("dl").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+Q_DOCLEN_HIST_SQL = f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id)
+SELECT dl, count(*)::BIGINT AS n_docs FROM dl GROUP BY dl
+"""
+
+# ------------------------------------------ descriptor-pipeline operators
+
+def q_regex_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 `match` pre-filter (SpchtCore.py:645-683): regex keeps rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").rlike("stream .* window|window .* stream")).select(
+        "doc_id", "lang", "source"
+    )
+
+
+Q_REGEX_MATCH_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE regexp_matches(text, 'stream .* window|window .* stream')
+"""
+
+
+def q_cut_replace_prepend_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+P7 cut/replace + prepend/append (SpchtCore.py:685-721)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("x:"), F.regexp_replace("source", "^src", "s"), F.lit(":y")
+        ).alias("mapped"),
+    )
+
+
+Q_CUT_REPLACE_SQL = """
+SELECT doc_id, 'x:' || regexp_replace(source, '^src', 's') || ':y' AS mapped
+FROM documents
+"""
+
+
+def q_mapping_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 `mapping` with $inherit (SpchtCore.py:723-792): translate
+    lang codes via a small map; unmatched pass through."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("en"), F.lit("english"),
+        F.lit("de"), F.lit("german"),
+        F.lit("fr"), F.lit("french"),
+    )
+    return docs.select(
+        "doc_id", F.coalesce(m[F.col("lang")], F.col("lang")).alias("lang_name")
+    )
+
+
+Q_MAPPING_SQL = """
+SELECT doc_id,
+       coalesce(CASE lang WHEN 'en' THEN 'english' WHEN 'de' THEN 'german'
+                          WHEN 'fr' THEN 'french' END, lang) AS lang_name
+FROM documents
+"""
+
+
+def q_alternatives_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 `alternatives` (SpchtCore.py:550-558): first non-empty field."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.col("c_name")).alias(
+            "alt"
+        ),
+    )
+
+
+Q_ALTERNATIVES_SQL = """
+SELECT c_custkey, coalesce(nullif(c_mktsegment, 'BUILDING'), c_name) AS alt
+FROM customer
+"""
+
+
+def q_insert_into_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 `insert_into` template fill (SpchtCore.py:898-939)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.format_string("(%s) %s", F.col("source"), F.col("lang")).alias("filled")
+    )
+
+
+Q_INSERT_INTO_SQL = """
+SELECT doc_id, printf('(%s) %s', source, lang) AS filled FROM documents
+"""
+
+
+def q_if_numeric_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 `if_` with numeric coercion (SpchtCore.py:941-1056): keep rows
+    whose string-typed value parses >= threshold (try_cast semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("value").cast("double") >= 10.0).select(
+        "event_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+Q_IF_NUMERIC_SQL = """
+SELECT event_id, event_type, round(value, 4) AS value FROM events
+WHERE value >= 10.0
+"""
+
+
+def q_sha256_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16 sha256 digest (local_tools.py:285-286) — the per-row invariant."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("digest"))
+
+
+Q_SHA256_SQL = "SELECT doc_id, sha256(text) AS digest FROM documents"
+
+
+def q_joined_map_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 `joined_map` positional zip (SpchtCore.py:794-896):
+    arrays_zip + explode of two parallel token slices."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    z = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ts", 1, 4).alias("f1"), F.slice("ts", 5, 4).alias("f2")
+            )
+        ).alias("z"),
+    )
+    return z.select("doc_id", F.col("z.f1").alias("f1"), F.col("z.f2").alias("f2"))
+
+
+Q_JOINED_MAP_SQL = """
+SELECT doc_id, u[1] AS f1, u[2] AS f2
+FROM (
+  SELECT doc_id,
+         unnest(list_zip(ts[1:4], ts[5:8])) AS u
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+)
+"""
+
+# ------------------------------------------------------- relational / agg
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style rollup (work-order metric rollup parity, A1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k (SURVEY §2.5): top-3 orders per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc(F.round("o_totalprice", 6)), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+Q_TOPK_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, rnk, price FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY round(o_totalprice, 6) DESC, o_orderkey)::INTEGER AS rnk,
+         round(o_totalprice, 2) AS price
+  FROM orders)
+WHERE rnk <= 3
+"""
+
+
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast star join (SURVEY §2.3 J-gap): customer→nation→region."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+Q_DIM_JOIN_SQL = """
+SELECT r_name, n_name, count(*)::BIGINT AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+# --------------------------------------------------- training-data ops
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (training-data op): keep min doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+Q_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc, count(*)::BIGINT AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (text analysis op)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    return docs.select(
+        "doc_id", F.size(toks).alias("n_tokens"), F.length("text").alias("len_chars")
+    )
+
+
+Q_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> ''))::INTEGER AS n_tokens,
+       length(text)::INTEGER AS len_chars
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + mean token length."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    stop = F.filter(toks, lambda x: x.isin("the", "a"))
+    return docs.select(
+        "doc_id",
+        F.round(F.size(stop) / F.size(toks), 4).alias("stopword_ratio"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+Q_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id,
+       round(len(list_filter(toks, x -> x IN ('the', 'a')))::DOUBLE / len(toks), 4)
+         AS stopword_ratio,
+       round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4)
+         AS avg_token_len
+FROM t
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over embeddings (similarity-search op)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), to_d("embedding").alias("qe")
+    )
+    cand = emb.select("vec_id", to_d("embedding").alias("ce"))
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = (
+        qv.crossJoin(cand)
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("cos", dot / (nrm("qe") * nrm("ce")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc(F.round("cos", 6)), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "rnk", "vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+Q_COSINE_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+  scored AS (
+    SELECT q.q_id, e.vec_id,
+      list_sum(list_transform(list_zip(q.qe, e.embedding),
+                              x -> x[1]::DOUBLE * x[2]::DOUBLE))
+      / (sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))
+         * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))))
+      AS cos
+    FROM q CROSS JOIN embeddings e WHERE q.q_id <> e.vec_id),
+  ranked AS (
+    SELECT q_id, vec_id, round(cos, 4) AS cos_sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY round(cos, 6) DESC, vec_id)::INTEGER AS rnk
+    FROM scored)
+SELECT q_id, rnk, vec_id, cos_sim FROM ranked WHERE rnk <= 5
+"""
+
+# ----------------------------------------------------------- registration
+
+QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "term_stats": q_term_stats,
+    "doclen_hist": q_doclen_hist,
+    "regex_match_filter": q_regex_match_filter,
+    "cut_replace_prepend_append": q_cut_replace_prepend_append,
+    "mapping_translate": q_mapping_translate,
+    "alternatives_coalesce": q_alternatives_coalesce,
+    "insert_into_format": q_insert_into_format,
+    "if_numeric_gate": q_if_numeric_gate,
+    "sha256_digest": q_sha256_digest,
+    "joined_map_zip": q_joined_map_zip,
+    "pricing_summary": q_pricing_summary,
+    "topk_orders_per_customer": q_topk_orders_per_customer,
+    "broadcast_dim_join": q_broadcast_dim_join,
+    "exact_dedup": q_exact_dedup,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "cosine_topk": q_cosine_topk,
+}
+
+ORACLES = {
+    "bm25_topk": _bm25_sql(),
+    "term_stats": Q_TERM_STATS_SQL,
+    "doclen_hist": Q_DOCLEN_HIST_SQL,
+    "regex_match_filter": Q_REGEX_MATCH_SQL,
+    "cut_replace_prepend_append": Q_CUT_REPLACE_SQL,
+    "mapping_translate": Q_MAPPING_SQL,
+    "alternatives_coalesce": Q_ALTERNATIVES_SQL,
+    "insert_into_format": Q_INSERT_INTO_SQL,
+    "if_numeric_gate": Q_IF_NUMERIC_SQL,
+    "sha256_digest": Q_SHA256_SQL,
+    "joined_map_zip": Q_JOINED_MAP_SQL,
+    "pricing_summary": Q_PRICING_SQL,
+    "topk_orders_per_customer": Q_TOPK_ORDERS_SQL,
+    "broadcast_dim_join": Q_DIM_JOIN_SQL,
+    "exact_dedup": Q_EXACT_DEDUP_SQL,
+    "token_count": Q_TOKEN_COUNT_SQL,
+    "quality_score": Q_QUALITY_SQL,
+    "cosine_topk": Q_COSINE_SQL,
+}

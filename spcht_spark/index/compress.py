@@ -1,0 +1,54 @@
+"""Vectorized delta + varbyte codec for posting blocks (numpy, no per-row
+Python — the codec runs over whole numpy arrays inside Arrow-batched
+UDFs; SURVEY.md §4.2 "Compression as data layout")."""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+_THRESHOLDS = (1 << (7 * np.arange(1, 10, dtype=np.uint64))).astype(np.uint64)
+
+
+def varbyte_encode(arr: np.ndarray) -> bytes:
+    """LEB128-style varbyte: little-endian 7-bit groups, MSB = continue."""
+    v = np.ascontiguousarray(arr, dtype=np.uint64)
+    if len(v) == 0:
+        return b""
+    lengths = np.searchsorted(_THRESHOLDS, v, side="right") + 1
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    out = np.zeros(int(lengths.sum()), dtype=np.uint8)
+    for j in range(int(lengths.max())):
+        m = lengths > j
+        byte = (v[m] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (lengths[m] > j + 1).astype(np.uint8) << 7
+        out[offsets[m] + j] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.nonzero(b < 0x80)[0]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        m = lengths > j
+        vals[m] |= (b[starts[m] + j].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
+    return vals
+
+
+def encode_postings_block(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """doc_ids (sorted asc) → delta-gap varbyte; tfs → varbyte."""
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    gaps = np.diff(d, prepend=np.uint64(0))
+    gaps[0] = d[0]
+    return varbyte_encode(gaps), varbyte_encode(np.asarray(tfs, dtype=np.uint64))
+
+
+def decode_postings_block(docs_bin: bytes, tfs_bin: bytes) -> tuple[np.ndarray, np.ndarray]:
+    gaps = varbyte_decode(docs_bin)
+    return np.cumsum(gaps, dtype=np.uint64), varbyte_decode(tfs_bin)

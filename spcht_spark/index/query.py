@@ -1,0 +1,155 @@
+"""Top-k BM25 query engine over the compressed block index.
+
+Two paths, both rank-identical to the pure-Python oracle:
+
+* :func:`exact_topk` — decode every matching block, score everything.
+  Plan shape: dictionary lookup driver-side (the ≤ handful of query
+  terms; idf computed in Python so it is bit-identical to the oracle) →
+  block scan with ``term IN (...)`` pushed to parquet → Arrow decode UDF
+  → doclens join → per-term contribution (pure Catalyst doubles) →
+  deterministic term-ordered summation → per-query top-k window.
+* :func:`wand_topk` (spcht_spark.index.wand) — block-max WAND: skips
+  decoding blocks whose upper bound cannot reach the current kth score.
+
+Determinism contract (SURVEY.md §7 "rank identity"): contributions are
+summed in ascending-term order via sort_array(collect_list(struct)) +
+aggregate-fold, tie-break (score desc, doc_id asc).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spcht_spark.index.compress import decode_postings_block
+from spcht_spark.oracle import B, K1, idf as idf_py
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.LongType(), False),
+    ]
+)
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def decode_blocks(blocks: DataFrame) -> DataFrame:
+    """blocks → flat (term, doc_id, tf) via Arrow-batched numpy decode."""
+
+    def dec(batches):
+        for pdf in batches:
+            outs = []
+            for term, dbin, tbin in zip(pdf["term"], pdf["docs_bin"], pdf["tfs_bin"]):
+                docs, tfs = decode_postings_block(dbin, tbin)
+                outs.append(
+                    pd.DataFrame(
+                        {"term": term, "doc_id": docs.astype("int64"), "tf": tfs.astype("int64")}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return blocks.select("term", "docs_bin", "tfs_bin").mapInPandas(dec, schema=POSTINGS_SCHEMA)
+
+
+def query_idfs(
+    dictionary: DataFrame, stats_row, terms: list[str]
+) -> dict[str, float]:
+    """Driver-side idf for the query terms — bit-identical to the oracle
+    (math.log in Python; N and df are exact ints)."""
+    n_docs = int(stats_row["n_docs"])
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in dictionary.filter(F.col("term").isin(terms)).select("term", "df").collect()
+    }
+    return {t: idf_py(n_docs, dfs[t]) for t in terms if t in dfs}
+
+
+def score_postings(
+    postings: DataFrame,
+    doclens: DataFrame,
+    idfs: dict[str, float],
+    avgdl: float,
+    query_terms: DataFrame,
+) -> DataFrame:
+    """(query_id, doc_id, score): contribution expression mirrors
+    spcht_spark.oracle.term_score verbatim; summation is term-ordered."""
+    if not idfs:
+        raise ValueError("score_postings requires at least one known term")
+    idf_map = F.create_map(*[x for t, v in sorted(idfs.items()) for x in (F.lit(t), F.lit(v))])
+    contrib = (
+        postings.join(doclens, "doc_id")
+        .join(query_terms, "term")  # (term, query_id); small → broadcast by AQE
+        .withColumn("idf", idf_map[F.col("term")])
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (
+                (F.col("tf") * F.lit(K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (F.lit(1.0 - B) + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+                )
+            ),
+        )
+    )
+    return contrib.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+
+
+def topk(scores: DataFrame, ks: dict[str, int]) -> DataFrame:
+    """Per-query top-k with deterministic tie-break (score desc, doc asc)."""
+    k_map = F.create_map(*[x for q, k in sorted(ks.items()) for x in (F.lit(q), F.lit(k))])
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_map[F.col("query_id")])
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def exact_topk(
+    spark: SparkSession,
+    blocks: DataFrame,
+    doclens: DataFrame,
+    dictionary: DataFrame,
+    stats: DataFrame,
+    queries: list[tuple[str, list[str], int]],
+) -> DataFrame:
+    """Exact disjunctive BM25 top-k for a batch of queries.
+
+    ``term IN (...)`` is applied before decode so parquet row-group
+    min/max stats on the sorted term column prune the block scan.
+    """
+    stats_row = stats.collect()[0]
+    avgdl = float(stats_row["avgdl"])
+    all_terms = sorted({t for _, ts, _ in queries for t in ts})
+    idfs = query_idfs(dictionary, stats_row, all_terms)
+    if not idfs:
+        # No query term occurs in the corpus → empty result, stable schema.
+        return spark.createDataFrame([], schema=TOPK_SCHEMA)
+
+    qrows = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts)) if t in idfs]
+    query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
+
+    hit_blocks = blocks.filter(F.col("term").isin(list(idfs.keys())))
+    postings = decode_blocks(hit_blocks)
+    scores = score_postings(postings, doclens, idfs, avgdl, query_terms)
+    return topk(scores, {qid: k for qid, _, k in queries})
