@@ -1,0 +1,207 @@
+"""Block-max WAND top-k BM25 (SURVEY.md §7 step 6).
+
+Rank-safe pruned scoring at block granularity, parallelized per
+(query_id, doc-range shard):
+
+* Each (term, shard) posting list is a sequence of doc-ordered blocks
+  with an exact per-block upper bound ``idf · max_part``.
+* Per group, a WAND loop either (a) proves every doc in the current
+  frontier range is below the running kth score θ and skips the blocks
+  undecoded, or (b) decodes the covering blocks and scores the range
+  exactly (float64, term-ordered summation — same bit-contract as
+  spcht_spark.oracle / index.query).
+* Docs are disjoint across shards, so per-shard top-k merge exactly:
+  global top-k = top-k of the union (one narrow final window).
+
+θ starts at −inf per shard (no cross-shard θ sharing in v1 — a
+broadcast-θ cascade is the documented scale refinement).
+
+The per-group state machine is the engine's only imperative loop; it
+iterates over *blocks* (|postings|/128), not postings, and all scoring
+is vectorized numpy over decoded blocks (``input_hint``: no per-row
+Python).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spcht_spark.index.compress import varbyte_decode
+from spcht_spark.index.query import TOPK_SCHEMA, query_idfs, topk
+from spcht_spark.oracle import B, K1
+
+_CAND_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+class _TermCursor:
+    __slots__ = ("term", "idf", "firsts", "lasts", "bounds", "docs_bins",
+                 "tfs_bins", "dls_bins", "pos", "cache", "_avgdl")
+
+    def __init__(self, term: str, idf: float, grp: pd.DataFrame, avgdl: float):
+        grp = grp.sort_values("block_seq")
+        self.term = term
+        self.idf = idf
+        self.firsts = grp["first_doc"].to_numpy(np.int64)
+        self.lasts = grp["last_doc"].to_numpy(np.int64)
+        self.bounds = idf * grp["max_part"].to_numpy(np.float64)
+        self.docs_bins = grp["docs_bin"].tolist()
+        self.tfs_bins = grp["tfs_bin"].tolist()
+        self.dls_bins = grp["dls_bin"].tolist()
+        self.pos = 0
+        self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._avgdl = avgdl
+
+    def active(self) -> bool:
+        return self.pos < len(self.firsts)
+
+    def decode(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, exact scores) for block i."""
+        hit = self.cache.get(i)
+        if hit is not None:
+            return hit
+        gaps = varbyte_decode(self.docs_bins[i])
+        docs = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+        tfs = varbyte_decode(self.tfs_bins[i]).astype(np.int64)
+        dls = varbyte_decode(self.dls_bins[i]).astype(np.int64)
+        # Verbatim mirror of oracle.term_score (IEEE-exact contract).
+        scores = self.idf * (
+            (tfs * (K1 + 1.0)) / (tfs + K1 * (1.0 - B + B * (dls / self._avgdl)))
+        )
+        self.cache[i] = (docs, scores)
+        return docs, scores
+
+
+def _wand_one_group(
+    pdf: pd.DataFrame, k: int, idfs: dict[str, float], avgdl: float
+) -> list[tuple[int, float]]:
+    """Exact top-k of one (query, shard) group with block-max pruning."""
+    cursors = [
+        _TermCursor(term, idfs[term], grp, avgdl)
+        for term, grp in pdf.groupby("term")
+        if term in idfs
+    ]
+    cursors.sort(key=lambda c: c.term)  # summation order: term asc
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+    low_water = -1
+
+    while True:
+        active = [(c.firsts[c.pos], c.lasts[c.pos], c.bounds[c.pos], ci)
+                  for ci, c in enumerate(cursors) if c.active()]
+        if not active:
+            break
+        active.sort()
+        theta = heap[0][0] if len(heap) == k else -math.inf
+        guard = 1e-12 * max(1.0, abs(theta)) if theta > -math.inf else 0.0
+
+        cum, pivot = 0.0, -1
+        for i, (_f, _l, bd, _ci) in enumerate(active):
+            cum += bd
+            if cum >= theta - guard:
+                pivot = i
+                break
+
+        if pivot == -1:
+            # Even the sum of every current bound is < θ: docs up to the
+            # smallest current last_doc are fully covered → skip them.
+            frontier = min(l for _f, l, _b, _ci in active)
+            for _f, l, _b, ci in active:
+                if l <= frontier:
+                    cursors[ci].pos += 1
+            low_water = max(low_water, frontier)
+            continue
+
+        pivot_first, pivot_last = active[pivot][0], active[pivot][1]
+        # Prefix blocks ending before the pivot range hold only docs whose
+        # upper bound is < θ (prefix-sum argument): skip them undecoded.
+        advanced = False
+        for _f, l, _b, ci in active[:pivot]:
+            if l < pivot_first:
+                cursors[ci].pos += 1
+                advanced = True
+        if advanced:
+            continue
+
+        # Evaluate range (low_water, pivot_last] exactly. Coverage: decode
+        # every cursor-forward block overlapping the range, per term.
+        lo = max(pivot_first, low_water + 1)
+        hi = pivot_last
+        doc_arrays, score_arrays = [], []
+        for c in cursors:  # term-ascending → deterministic summation order
+            j = c.pos
+            while j < len(c.firsts) and c.firsts[j] <= hi:
+                if c.lasts[j] >= lo:
+                    docs, scores = c.decode(j)
+                    m = (docs >= lo) & (docs <= hi)
+                    if m.any():
+                        doc_arrays.append(docs[m])
+                        score_arrays.append(scores[m])
+                j += 1
+        if doc_arrays:
+            alldocs = np.concatenate(doc_arrays)
+            allscores = np.concatenate(score_arrays)
+            uniq, inv = np.unique(alldocs, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.float64)
+            # np.add.at accumulates sequentially in appearance order —
+            # which is term-ascending by construction.
+            np.add.at(sums, inv, allscores)
+            for d, s in zip(uniq.tolist(), sums.tolist()):
+                item = (s, -d)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        # Advance cursors past blocks fully consumed by this range.
+        for c in cursors:
+            while c.active() and c.lasts[c.pos] <= hi:
+                c.pos += 1
+        low_water = max(low_water, hi)
+
+    return [(-nd, s) for s, nd in heap]
+
+
+def wand_topk(
+    spark: SparkSession,
+    blocks: DataFrame,
+    dictionary: DataFrame,
+    stats: DataFrame,
+    queries: list[tuple[str, list[str], int]],
+) -> DataFrame:
+    """Batch top-k via per-(query, shard) WAND + exact global merge."""
+    stats_row = stats.collect()[0]
+    avgdl = float(stats_row["avgdl"])
+    all_terms = sorted({t for _, ts, _ in queries for t in ts})
+    idfs = query_idfs(dictionary, stats_row, all_terms)
+    if not idfs:
+        return spark.createDataFrame([], schema=TOPK_SCHEMA)
+    ks = {qid: k for qid, _, k in queries}
+
+    qrows = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts)) if t in idfs]
+    query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
+
+    hit = blocks.filter(F.col("term").isin(list(idfs.keys()))).join(
+        F.broadcast(query_terms), "term"
+    )
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        query_id = key[0]
+        res = _wand_one_group(pdf, ks[query_id], idfs, avgdl)
+        return pd.DataFrame(
+            {"query_id": query_id, "doc_id": [d for d, _ in res],
+             "score": [s for _, s in res]}
+        )
+
+    cand = hit.groupBy("query_id", "shard").applyInPandas(run, schema=_CAND_SCHEMA)
+    return topk(cand, ks)

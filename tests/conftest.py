@@ -24,3 +24,17 @@ def small_corpus(spark, small_corpus_pd):
 
     df = generate_corpus(spark, n_docs=400, min_lines=5, max_lines=60, partitions=8)
     return df.cache()
+
+
+@pytest.fixture(scope="session")
+def small_index(spark, small_corpus):
+    """Shared index over small_corpus, shard_span=64 → multi-shard terms."""
+    from spcht_spark.index.build import build_index
+
+    idx = build_index(spark, small_corpus, shard_span=64)
+    idx.tokens = idx.tokens.cache()
+    idx.doclens = idx.doclens.cache()
+    idx.dictionary = idx.dictionary.cache()
+    idx.blocks = idx.blocks.cache()
+    idx.blocks.count()
+    return idx

@@ -6,14 +6,8 @@ from __future__ import annotations
 import pytest
 
 from spcht_spark.corpus import REFERENCE_QUERIES
-from spcht_spark.index.build import build_index
 from spcht_spark.index.query import exact_topk
 from spcht_spark.oracle import Bm25Oracle
-
-
-@pytest.fixture(scope="module")
-def index(spark, small_corpus):
-    return build_index(spark, small_corpus, hot_df_threshold=50, docs_per_salt=60)
 
 
 @pytest.fixture(scope="module")
@@ -34,14 +28,15 @@ def _compare(got_pdf, oracle, queries):
             assert s1 == pytest.approx(s2, abs=1e-9), f"{qid} doc {d1}: {s1} != {s2}"
 
 
-def test_exact_topk_rank_identity(spark, index, oracle):
+def test_exact_topk_rank_identity(spark, small_index, oracle):
     res = exact_topk(
-        spark, index.blocks, index.doclens, index.dictionary, index.stats, REFERENCE_QUERIES
+        spark, small_index.blocks, small_index.doclens, small_index.dictionary,
+        small_index.stats, REFERENCE_QUERIES
     ).toPandas()
     _compare(res, oracle, REFERENCE_QUERIES)
 
 
-def test_stats_match_oracle(index, oracle):
-    row = index.stats.collect()[0]
+def test_stats_match_oracle(small_index, oracle):
+    row = small_index.stats.collect()[0]
     assert int(row["n_docs"]) == oracle.n_docs
     assert float(row["avgdl"]) == oracle.avgdl

@@ -51,19 +51,19 @@ def test_tokens_match_oracle(spark, small_corpus, small_corpus_pd):
     assert tf_map == want
 
 
-def test_blocks_cover_all_postings(spark, small_corpus, small_corpus_pd):
-    # Salting forced on (tiny thresholds) — decoded blocks must equal the
-    # token table exactly, and per (term, salt) doc ranges must not overlap.
-    idx = build_index(spark, small_corpus, hot_df_threshold=50, docs_per_salt=60)
+def test_blocks_cover_all_postings(spark, small_index, small_corpus_pd):
+    # Tiny shard_span forces hot terms across many shards — decoded blocks
+    # must equal the token table exactly, with disjoint ordered doc ranges.
+    idx = small_index
     dec = decode_blocks(idx.blocks).orderBy("term", "doc_id").toPandas()
     tok = idx.tokens.orderBy("term", "doc_id").toPandas()
     assert dec[["term", "doc_id", "tf"]].reset_index(drop=True).equals(
         tok[["term", "doc_id", "tf"]].reset_index(drop=True)
     )
-    salted = idx.blocks.groupBy("term").agg(F.countDistinct("salt").alias("s")).toPandas()
-    assert (salted["s"] > 1).any(), "expected at least one salted hot term"
-    # range-salting: per term, salt ranges are disjoint and ordered
-    b = idx.blocks.orderBy("term", "salt", "block_seq").toPandas()
+    sharded = idx.blocks.groupBy("term").agg(F.countDistinct("shard").alias("s")).toPandas()
+    assert (sharded["s"] > 1).any(), "expected hot terms to span multiple shards"
+    # doc-range sharding: per term, (shard, block_seq) order == doc order
+    b = idx.blocks.orderBy("term", "shard", "block_seq").toPandas()
     for term, grp in b.groupby("term"):
         lasts = grp["last_doc"].to_numpy()
         firsts = grp["first_doc"].to_numpy()

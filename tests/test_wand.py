@@ -1,0 +1,55 @@
+"""Block-max WAND must be rank- AND score-identical to the exact path
+(WAND is rank-safe for top-k; SURVEY.md §7 step 6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from spcht_spark.corpus import REFERENCE_QUERIES
+from spcht_spark.index.query import exact_topk
+from spcht_spark.index.wand import wand_topk
+from spcht_spark.oracle import Bm25Oracle
+
+
+def _as_map(pdf):
+    return {
+        qid: [(int(r.doc_id), float(r.score)) for r in grp.sort_values("rank").itertuples()]
+        for qid, grp in pdf.groupby("query_id")
+    }
+
+
+def test_wand_matches_exact(spark, small_index):
+    exact = _as_map(
+        exact_topk(
+            spark, small_index.blocks, small_index.doclens, small_index.dictionary, small_index.stats,
+            REFERENCE_QUERIES,
+        ).toPandas()
+    )
+    wand = _as_map(
+        wand_topk(spark, small_index.blocks, small_index.dictionary, small_index.stats, REFERENCE_QUERIES).toPandas()
+    )
+    assert set(exact.keys()) == set(wand.keys())
+    for qid in exact:
+        assert [d for d, _ in exact[qid]] == [d for d, _ in wand[qid]], f"{qid} ranks"
+        for (d, s1), (_, s2) in zip(exact[qid], wand[qid]):
+            assert s1 == s2, f"{qid} doc {d}: {s1} != {s2} (must be bit-identical)"
+
+
+def test_wand_matches_oracle(spark, small_index, small_corpus_pd):
+    oracle = Bm25Oracle(small_corpus_pd)
+    wand = _as_map(
+        wand_topk(spark, small_index.blocks, small_index.dictionary, small_index.stats, REFERENCE_QUERIES).toPandas()
+    )
+    for qid, terms, k in REFERENCE_QUERIES:
+        want = oracle.query(terms, k)
+        have = wand.get(qid, [])
+        assert [d for d, _ in have] == [d for d, _ in want], f"{qid} ranks vs oracle"
+        for (d1, s1), (_d2, s2) in zip(have, want):
+            assert s1 == pytest.approx(s2, abs=1e-9), f"{qid} doc {d1}"
+
+
+def test_wand_absent_terms(spark, small_index):
+    out = wand_topk(
+        spark, small_index.blocks, small_index.dictionary, small_index.stats, [("qa", ["zzz_none"], 5)]
+    )
+    assert out.count() == 0
