@@ -1,0 +1,95 @@
+"""CLI driver (W8 parity: /root/reference/Spcht/main.py:73-414 verbs,
+re-expressed for the new engine). Run as
+``python -m spcht_spark.cli <verb> ...`` or via spark-submit --py-files.
+
+Verbs:
+  full-order      create + run (or resume) an index-build work order
+  continue-order  resume an existing order  (--ContinueWorkOrder parity)
+  check-order     metrics rollup            (--CheckWorkOrder parity)
+  query           top-k BM25 over a committed index (exact or wand)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from spcht_spark.corpus import generate_corpus
+from spcht_spark.index.query import exact_topk
+from spcht_spark.index.wand import wand_topk
+from spcht_spark.plans import workorder as wo
+from spcht_spark.plans.indexer import index_order, load_index, run_index_order
+from spcht_spark.session import get_spark
+
+
+def _order_for(args):
+    def source(spark):
+        if args.corpus_parquet:
+            return spark.read.parquet(args.corpus_parquet)
+        return generate_corpus(spark, n_docs=args.n_docs, partitions=args.partitions)
+
+    return index_order(
+        args.workdir, args.run_id, source,
+        tokenizer=args.tokenizer, shard_span=args.shard_span,
+        verify_sha256=not args.no_verify_sha256,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="spcht_spark")
+    p.add_argument("--cores", type=int, default=None)
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    for verb in ("full-order", "continue-order"):
+        sp = sub.add_parser(verb)
+        sp.add_argument("workdir")
+        sp.add_argument("--run-id", default="run1")
+        sp.add_argument("--corpus-parquet", default=None,
+                        help="existing corpus table; default: synthesize")
+        sp.add_argument("--n-docs", type=int, default=2000)
+        sp.add_argument("--partitions", type=int, default=None)
+        sp.add_argument("--tokenizer", choices=["arrow", "jvm"], default="arrow")
+        sp.add_argument("--shard-span", type=int, default=1 << 17)
+        sp.add_argument("--no-verify-sha256", action="store_true")
+
+    sp = sub.add_parser("check-order")
+    sp.add_argument("workdir")
+    sp.add_argument("--run-id", default="run1")
+
+    sp = sub.add_parser("query")
+    sp.add_argument("workdir")
+    sp.add_argument("terms", nargs="+")
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--engine", choices=["exact", "wand"], default="wand")
+
+    args = p.parse_args(argv)
+    spark = get_spark("spcht_spark_cli", cores=args.cores)
+
+    if args.verb in ("full-order", "continue-order"):
+        order = _order_for(args)
+        run_index_order(spark, order)
+        print(json.dumps(wo.check_order(order, spark), indent=1))
+    elif args.verb == "check-order":
+        order = wo.WorkOrder(args.workdir, args.run_id, [])  # read-only view
+        try:
+            print(json.dumps(wo.check_order(order, spark), indent=1))
+        except FileNotFoundError as ex:
+            print(f"error: {ex}", file=sys.stderr)
+            spark.stop()
+            return 2
+    elif args.verb == "query":
+        idx = load_index(spark, args.workdir)
+        q = [("q", args.terms, args.k)]
+        if args.engine == "wand":
+            out = wand_topk(spark, idx.blocks, idx.dictionary, idx.stats, q)
+        else:
+            out = exact_topk(spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, q)
+        for r in out.orderBy("rank").collect():
+            print(f"{r['rank']:>4}  doc {r['doc_id']:>10}  {r['score']:.6f}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
