@@ -468,6 +468,145 @@ WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id <
 SELECT q_id, rnk, vec_id, cos_sim FROM ranked WHERE rnk <= 5
 """
 
+# ----------------------------------------- dedup / text-analysis (module ops)
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 4-gram Jaccard over co-shingled doc pairs (dedup op)."""
+    from spcht_spark.functions.dedup import jaccard_pairs, ngram_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = ngram_shingles(docs, "text", "doc_id", n=4)
+    return (
+        jaccard_pairs(sh)
+        .filter(F.col("jaccard") >= 0.1)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+Q_NGRAM_JACCARD_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 1),
+           i -> array_to_string(toks[i:i+3], ' ')))) AS shingle
+  FROM t),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id)
+SELECT a, b, round(i::DOUBLE / (ca.n + cb.n - i), 4) AS jaccard
+FROM inter JOIN cnt ca ON inter.a = ca.doc_id JOIN cnt cb ON inter.b = cb.doc_id
+WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.1
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-share language ID (text-analysis op)."""
+    from spcht_spark.functions.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "lang_pred", "lang_score"
+    )
+
+
+def _langid_sql() -> str:
+    from spcht_spark.functions.text import STOPWORDS
+
+    selects = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, "
+        f"len(list_filter(toks, x -> lower(x) IN ({', '.join(repr(w) for w in words)})))::DOUBLE"
+        f" / greatest(len(toks), 1) AS score FROM t"
+        for lang, words in STOPWORDS.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+scored AS ({selects}),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM scored)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+       round(score, 4) AS lang_score
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting incl. BPE-ish subword splits (text-analysis op)."""
+    from spcht_spark.functions.text import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_stats(docs, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_unique", "n_subwords", "n_chars"
+    )
+
+
+Q_TOKEN_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id,
+       len(toks)::INTEGER AS n_tokens,
+       len(list_distinct(toks))::INTEGER AS n_unique,
+       len(list_filter(string_split_regex(
+             regexp_replace(regexp_replace(text, '([a-z])([A-Z])', '\\1 \\2', 'g'),
+                            '([A-Za-z])([0-9])', '\\1 \\2', 'g'),
+             '\\s+'), x -> x <> ''))::INTEGER AS n_subwords,
+       length(text)::INTEGER AS n_chars
+FROM t
+"""
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup clustering (no SQL oracle: xxhash64-based;
+    driver records the weaker rows-only check; exactness is pytest-gated
+    against a numpy oracle in tests/test_functions.py)."""
+    from spcht_spark.functions.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "text", "doc_id", n=4, jaccard_threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (rows-only check; xxhash64-based)."""
+    from spcht_spark.functions.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id").select(F.col("id").alias("doc_id"), "simhash")
+
+
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (rows-only; approximate by design,
+    recall gated in pytest against brute force)."""
+    from spcht_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    out = lsh_topk(emb, q, k=5, n_planes=6, n_tables=10, dim=64)
+    return out.select("q_id", "rnk", "vec_id", F.round("cos", 4).alias("cos_sim"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint (rows-only; xxhash64)."""
+    from spcht_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "fingerprint"
+    )
+
+
 # ----------------------------------------------------------- registration
 
 QUERIES = {
@@ -489,6 +628,13 @@ QUERIES = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "cosine_topk": q_cosine_topk,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "language_id": q_language_id,
+    "token_stats": q_token_stats,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash": q_simhash,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
+    "doc_fingerprint": q_doc_fingerprint,
 }
 
 ORACLES = {
@@ -510,4 +656,9 @@ ORACLES = {
     "token_count": Q_TOKEN_COUNT_SQL,
     "quality_score": Q_QUALITY_SQL,
     "cosine_topk": Q_COSINE_SQL,
+    "ngram_jaccard_pairs": Q_NGRAM_JACCARD_SQL,
+    "language_id": _langid_sql(),
+    "token_stats": Q_TOKEN_STATS_SQL,
+    # minhash_dedup / simhash / embedding_ann_lsh / doc_fingerprint:
+    # intentionally no oracle (xxhash64 / approximate) → rows-only check.
 }

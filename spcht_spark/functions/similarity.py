@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute_force_topk   — exact cosine top-k (baseline; one cross join
+  pruned to query×corpus, vectorized JVM arithmetic)
+* random_hyperplane_lsh — sign-bit bucket codes for sub-linear candidate
+  generation (the scale path: bucket equi-join instead of cross join)
+* lsh_topk           — LSH candidates (multi-probe by code) → exact
+  rescoring → top-k; recall < 1.0 by construction, measured in tests
+* ivf_topk           — IVF-style: k-means-lite centroids (seeded sample,
+  driver-side numpy on a bounded sample), assign via broadcast, probe
+  the nprobe nearest cells only
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: str | Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "q_id", q_vec_col: str = "qe",
+) -> DataFrame:
+    """Exact top-k: broadcast the (small) query side over the corpus."""
+    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "cos", cosine(q_vec_col, vec_col)
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(q_id_col, "rnk", id_col, "cos")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_code(vec_col: str | Column, planes: list[list[float]]) -> Column:
+    """Sign-bit code: bit i = (v · plane_i) > 0 — pure Catalyst fold."""
+    code = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec_col, plane_arr) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        code = code + bit
+    return code
+
+
+def lsh_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10, n_planes: int = 6,
+    n_tables: int = 10, dim: int = 64, seed: int = 11,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "q_id", q_vec_col: str = "qe",
+) -> DataFrame:
+    """Approximate top-k: OR-construction over ``n_tables`` independent
+    sign-bit tables (AND within a table's ``n_planes`` bits) → exact
+    cosine rescoring → window.  At 10^12 scale the (table, code)
+    equi-join replaces the cross join; recall tunes via tables/planes:
+    p_hit = 1-(1-p_bit^planes)^tables."""
+    codes = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        codes.append(lambda vc, p=planes: lsh_code(vc, p))
+    tbl = F.explode(
+        F.array(*[
+            F.struct(F.lit(t).alias("tbl"), codes[t](vec_col).alias("code"))
+            for t in range(n_tables)
+        ])
+    )
+    c = corpus.select(id_col, vec_col, tbl.alias("tc")).select(
+        id_col, vec_col, F.col("tc.tbl").alias("tbl"), F.col("tc.code").alias("code")
+    )
+    qtbl = F.explode(
+        F.array(*[
+            F.struct(F.lit(t).alias("tbl"), codes[t](q_vec_col).alias("code"))
+            for t in range(n_tables)
+        ])
+    )
+    q = queries.select(q_id_col, q_vec_col, qtbl.alias("tc")).select(
+        q_id_col, q_vec_col, F.col("tc.tbl").alias("tbl"), F.col("tc.code").alias("code")
+    )
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "code"])
+        .select(q_id_col, q_vec_col, id_col, vec_col)
+        .dropDuplicates([q_id_col, id_col])
+    )
+    scored = cand.withColumn("cos", cosine(q_vec_col, vec_col))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(q_id_col, "rnk", id_col, "cos")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10, n_cells: int = 16,
+    nprobe: int = 4, sample: int = 2048, seed: int = 13,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "q_id", q_vec_col: str = "qe",
+) -> DataFrame:
+    """IVF: centroids from a seeded bounded sample (k-means few rounds,
+    numpy driver-side — sample is capped so this never scales with the
+    corpus), assignment + probing via broadcast centroid array."""
+    sampled = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample).collect()], dtype=np.float64
+    )
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = sampled[rng.choice(len(sampled), size=min(n_cells, len(sampled)), replace=False)]
+    for _ in range(5):
+        d = ((sampled[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for ci in range(len(cent)):
+            m = assign == ci
+            if m.any():
+                cent[ci] = sampled[m].mean(axis=0)
+
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cent]
+    )
+
+    def nearest_cells(vec: str | Column, n: int) -> Column:
+        dists = F.transform(
+            cent_arr,
+            lambda c: F.aggregate(
+                F.zip_with(vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        idx = F.sequence(F.lit(0), F.lit(len(cent) - 1))
+        ranked = F.array_sort(
+            F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        )
+        return F.transform(F.slice(ranked, 1, n), lambda s: s["i"])
+
+    c = corpus.withColumn("cell", F.element_at(nearest_cells(vec_col, 1), 1))
+    q = queries.withColumn("cells", nearest_cells(q_vec_col, nprobe))
+    qx = q.select(q_id_col, q_vec_col, F.explode("cells").alias("cell"))
+    cand = c.join(F.broadcast(qx), "cell")
+    scored = cand.withColumn("cos", cosine(q_vec_col, vec_col))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(q_id_col, "rnk", id_col, "cos")
+    )

@@ -1,0 +1,170 @@
+"""Training-data ops: dedup, similarity, text analysis, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spcht_spark.functions import dedup as D
+from spcht_spark.functions import similarity as S
+from spcht_spark.functions import text as X
+from spcht_spark.functions.multimodal import decode_and_featurize, synth_media
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog near the river shore"),  # near dup
+        (4, "completely different content about spark query engines and columnar execution"),
+        (5, "der hund läuft über die straße und die katze ist nicht da"),
+        (6, "le chat est dans la maison et le chien est pour la porte"),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"]).cache()
+
+
+def test_exact_dedup(docs):
+    out = D.exact_dedup(docs, "text", "id").collect()
+    dups = {r["keep_id"]: r["n_dups"] for r in out}
+    assert dups[1] == 2  # ids 1,2 collapse
+    assert len(out) == 5
+
+
+def test_shingles_and_minhash_vs_oracle(spark, docs):
+    sh = D.ngram_shingles(docs, "text", "id", n=3)
+    # oracle: recompute shingles in python
+    pdf = docs.toPandas()
+    for _, row in pdf.iterrows():
+        toks = row["text"].split()
+        want = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        got = {r["shingle"] for r in sh.filter(F.col("id") == row["id"]).collect()}
+        assert got == want, f"doc {row['id']}"
+
+    # minhash lanes vs numpy oracle using Spark's own xxhash64 values
+    base = sh.withColumn("x", F.abs(F.xxhash64("shingle")) % F.lit(D.MERSENNE31)).toPandas()
+    a, b = D._hash_params(8, seed=7)
+    sigs = {r["id"]: r["sig"] for r in D.minhash_signatures(sh, num_hashes=8, seed=7).collect()}
+    for doc_id, grp in base.groupby("id"):
+        xs = grp["x"].to_numpy(dtype=object)
+        want = [
+            min((int(ai) * int(x) + int(bi)) % D.MERSENNE31 for x in xs)
+            for ai, bi in zip(a, b)
+        ]
+        assert list(sigs[doc_id]) == want, f"doc {doc_id}"
+
+
+def test_minhash_dedup_pipeline(docs):
+    out = D.minhash_dedup(docs, "text", "id", n=3, num_hashes=64, bands=16,
+                          jaccard_threshold=0.5).collect()
+    comp = {r["id"]: r["component"] for r in out}
+    keep = {r["id"]: r["keep"] for r in out}
+    assert comp[1] == comp[2] == comp[3]  # dup cluster
+    assert comp[4] not in (comp[1],)
+    assert keep[1] and not keep[2] and not keep[3]
+    assert keep[4] and keep[5] and keep[6]
+
+
+def test_jaccard_pairs_exact(docs):
+    j = {(r["a"], r["b"]): r["jaccard"] for r in D.jaccard_pairs(
+        D.ngram_shingles(docs, "text", "id", n=3)
+    ).collect()}
+    assert j[(1, 2)] == 1.0
+    assert 0.5 < j[(1, 3)] < 1.0
+
+
+def test_simhash(docs):
+    out = {r["id"]: r["simhash"] for r in D.simhash(docs, "text", "id").collect()}
+    assert out[1] == out[2]
+    d_near = bin(out[1] ^ out[3]).count("1")
+    d_far = bin(out[1] ^ out[4]).count("1")
+    assert d_near < d_far
+    assert d_near <= 16
+
+
+def test_near_dup_components_graph(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["a", "b"])
+    comp = {r["id"]: r["component"] for r in D.near_dup_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[7] == comp[8] == 7
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+
+
+def test_lsh_recall_vs_brute(spark, emb):
+    q = _queries(emb)
+    brute = S.brute_force_topk(emb, q, k=10)
+    approx = S.lsh_topk(emb, q, k=10, n_planes=6, n_tables=10, dim=64)
+    b = {(r["q_id"], r["vec_id"]) for r in brute.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+    # self-match must always be rank 1 (cos=1)
+    top1 = {r["q_id"]: r["vec_id"] for r in approx.filter("rnk=1").collect()}
+    assert all(q_id == v for q_id, v in top1.items())
+
+
+def test_ivf_recall_vs_brute(spark, emb):
+    q = _queries(emb)
+    brute = S.brute_force_topk(emb, q, k=10)
+    approx = S.ivf_topk(emb, q, k=10, n_cells=8, nprobe=4)
+    b = {(r["q_id"], r["vec_id"]) for r in brute.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat is in the house and the dog is at the door"),
+        (2, "der hund und die katze ist nicht in das haus"),
+        (3, "le chat est dans la maison et pour le chien"),
+        (4, "xyzzy qwerty plugh"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r["lang_pred"] for r in X.language_id(df, "text", "id").collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
+
+
+def test_quality_score(docs):
+    out = {r["id"]: r for r in X.quality_score(docs, "text", "id").collect()}
+    assert 0 <= out[1]["quality"] <= 1
+    assert out[1]["n_tokens"] == 13
+    assert out[1]["stopword_ratio"] > 0
+
+
+def test_token_stats_and_fingerprint(spark, docs):
+    ts = {r["id"]: r for r in X.token_stats(docs, "text", "id").collect()}
+    assert ts[1]["n_tokens"] == 13 and ts[1]["n_unique"] == 11
+    fp = {r["id"]: r["fingerprint"] for r in X.fingerprint(docs, "text", "id").collect()}
+    assert fp[1] == fp[2]  # identical docs → identical fingerprint
+    camel = spark.createDataFrame([(1, "fooBar baz99 plainword")], ["id", "text"])
+    st = X.token_stats(camel, "text", "id").collect()[0]
+    assert st["n_tokens"] == 3 and st["n_subwords"] == 5
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, n=30)
+    feats = decode_and_featurize(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # determinism: same payload → same feature
+    again = {r["media_id"]: r["feature"] for r in decode_and_featurize(media, dim=16).collect()}
+    first = {r["media_id"]: r["feature"] for r in rows}
+    assert again == first
+    # sha256 invariant against payload
+    joined = media.join(feats, "media_id").withColumn(
+        "chk", F.sha2(F.col("payload"), 256) == F.col("payload_sha256")
+    )
+    assert joined.filter(~F.col("chk")).count() == 0
