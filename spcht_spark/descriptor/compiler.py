@@ -136,13 +136,14 @@ class Ctx:
     elements (sub_data recursion). Missing fields are a compile-time
     fact (schema known) → empty array, mirroring SpchtCore.py:1171-1174."""
 
-    def __init__(self, fields: dict[str, T.DataType], get):
+    def __init__(self, fields: dict[str, T.DataType], get, marc: Column | None = None):
         self.fields = fields
         self.get = get  # name -> Column
+        self.marc = marc  # parsed MARC array (sources.marc), optional
 
     @classmethod
-    def for_row(cls, schema: T.StructType) -> "Ctx":
-        return cls({f.name: f.dataType for f in schema.fields}, F.col)
+    def for_row(cls, schema: T.StructType, marc: Column | None = None) -> "Ctx":
+        return cls({f.name: f.dataType for f in schema.fields}, F.col, marc)
 
     @classmethod
     def for_struct(cls, stype: T.StructType, expr: Column) -> "Ctx":
@@ -170,6 +171,12 @@ class Ctx:
     def raw(self, source: str, field: str) -> Column:
         """Normalized value list: array<string>, empty = missing.
         Scalar falsiness (0/""/null → missing) per SpchtCore.py:1218."""
+        if source == "marc":
+            if self.marc is None:
+                return _empty_str_arr()
+            from spcht_spark.sources.marc import marc_values
+
+            return F.coalesce(marc_values(self.marc, field), _empty_str_arr())
         hit = self._resolve(source, field)
         if hit is None:
             return _empty_str_arr()
@@ -595,16 +602,41 @@ def _compile_sub_data(node: dict, ctx: Ctx, fb: Column) -> Column:
 
 # -------------------------------------------------- descriptor compiler
 
+def _uses_marc(descriptor: dict) -> bool:
+    def walk(node) -> bool:
+        if not isinstance(node, dict):
+            return False
+        if node.get("source") == "marc":
+            return True
+        kids = [node.get("fallback")] + list(node.get("sub_nodes") or []) + list(
+            node.get("sub_data") or []
+        )
+        return any(walk(k) for k in kids if k)
+
+    return descriptor.get("id_source") == "marc" or any(
+        walk(n) for n in descriptor.get("nodes", [])
+    )
+
+
 def compile_descriptor(
-    descriptor: dict, df: DataFrame, subject_prefix: str = ""
+    descriptor: dict, df: DataFrame, subject_prefix: str = "",
+    marc_col: str = "fullrecord",
 ) -> DataFrame:
     """Full descriptor × record DataFrame → triples DataFrame
     (subject, predicate, object, object_is_uri, lang, datatype).
 
     Record-level semantics (process_data, SpchtCore.py:184-279): subject
     from the id header node; records with no/ambiguous id dropped;
-    `required: mandatory` node producing nothing drops the record."""
-    ctx = Ctx.for_row(df.schema)
+    `required: mandatory` node producing nothing drops the record.
+    If any node reads source 'marc' and ``marc_col`` exists, the MARC
+    blob is parsed ONCE (Arrow UDF) before compilation."""
+    marc = None
+    if _uses_marc(descriptor) and marc_col in df.columns:
+        from spcht_spark.sources.marc import with_parsed_marc
+
+        df = with_parsed_marc(df, marc_col, "_marc")
+        marc = F.col("_marc")
+    ctx = Ctx.for_row(df.schema, marc)
 
     id_node = {
         "name": "$Identifier$",
