@@ -1,0 +1,95 @@
+"""Scaling-efficiency evidence (BASELINE.json north_rule).
+
+No real cluster exists in this sandbox, so per the driver instruction
+the two-cluster-size criterion (N vs 4N executors, efficiency ≥ 0.8) is
+evidenced by running the IDENTICAL index-build job at two local
+parallelism levels on the SAME materialized corpus:
+
+    efficiency = (files/s @ 4N cores) / (4 × files/s @ N cores)
+
+Each level runs in its own JVM (subprocess) with shuffle partitions
+scaled to the core count. Usage:
+
+    python bench_scaling.py            # orchestrates both levels
+    python bench_scaling.py --worker N # one timed run (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+CORPUS_PATH = os.environ.get("SPCHT_SCALE_CORPUS", "/tmp/spcht_scale_corpus")
+N_DOCS = int(os.environ.get("SPCHT_SCALE_DOCS", "12000"))
+# Default N=2 vs 4N=8: a raw-CPU probe (see BENCH.md) shows this host
+# exposes ~8-16 effectively-contention-free cores (32 logical w/ SMT),
+# so 8→32 cannot physically yield 4x regardless of plan quality.
+LO = int(os.environ.get("SPCHT_SCALE_LO", "2"))
+HI = int(os.environ.get("SPCHT_SCALE_HI", "8"))
+
+
+def worker(cores: int) -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from spcht_spark.corpus import generate_corpus
+    from spcht_spark.index.build import build_index
+    from spcht_spark.session import get_spark
+
+    spark = get_spark(f"scale_{cores}", cores=cores, shuffle_partitions=cores * 2)
+    if not os.path.exists(os.path.join(CORPUS_PATH, "_SUCCESS")):
+        generate_corpus(spark, n_docs=N_DOCS, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(CORPUS_PATH)
+    corpus = spark.read.parquet(CORPUS_PATH)
+
+    t0 = time.perf_counter()
+    idx = build_index(spark, corpus)
+    # materialize the full index (blocks + doclens + dictionary + stats)
+    n_blocks = idx.blocks.count()
+    idx.doclens.count(), idx.dictionary.count(), idx.stats.count()
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {"cores": cores, "seconds": round(dt, 3),
+             "files_per_sec": round(N_DOCS / dt, 2), "n_blocks": n_blocks}
+        )
+    )
+    spark.stop()
+
+
+def run_level(cores: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    lo = run_level(LO)
+    hi = run_level(HI)
+    ratio = HI / LO
+    eff = hi["files_per_sec"] / (ratio * lo["files_per_sec"])
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "lo": lo,
+                "hi": hi,
+                "target": 0.8,
+                "pass": eff >= 0.8,
+                "corpus_docs": N_DOCS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]))
+    else:
+        main()
