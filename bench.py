@@ -44,6 +44,13 @@ def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("spcht_spark_bench", cores=cores, shuffle_partitions=cores)
 
+    # Warm the session once (JVM classloading + codegen + parquet footer
+    # reads) so query timings measure the queries, not cold start.
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    spark.range(1000).agg(F.sum("id")).collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = demo_queries.QUERIES[name]

@@ -54,8 +54,14 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BM25 pipeline over `documents` — the flagship query.
 
     Mirrors the index engine's scoring (spcht_spark.index.query) but
-    inline over the driver table so DuckDB can oracle-check it."""
-    tf = _doc_tokens(spark, sf_dir)
+    inline over the driver table so DuckDB can oracle-check it.
+
+    The tf table feeds four branches (tf/df/dl/stats); without explicit
+    materialization Catalyst re-derives the scan+explode lineage per
+    branch (4 corpus scans — fatal at 100 TB, where the persisted-index
+    build in spcht_spark.plans.indexer is the real answer). Here:
+    localCheckpoint once, read four times."""
+    tf = _doc_tokens(spark, sf_dir).localCheckpoint()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),

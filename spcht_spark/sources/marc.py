@@ -106,6 +106,30 @@ def with_parsed_marc(
     return df.mapInPandas(run, schema=schema)
 
 
+def build_marc_record(fields) -> str:
+    """Minimal valid ISO-2709/MARC21 record (fixture helper; inverse of
+    :func:`parse_marc_record`).
+
+    fields: [(tag, value)] for control fields, or
+            [(tag, ind1, ind2, [(code, val), ...])] for data fields."""
+    datas, entries, pos = [], [], 0
+    for f in fields:
+        if len(f) == 2:
+            tag, value = f
+            data = value + FS
+        else:
+            tag, i1, i2, subs = f
+            data = i1 + i2 + "".join(SS + c + v for c, v in subs) + FS
+        entries.append(f"{int(tag):03d}{len(data):04d}{pos:05d}")
+        datas.append(data)
+        pos += len(data)
+    directory = "".join(entries) + FS
+    base = 24 + len(directory)
+    total = base + pos + 1
+    leader = f"{total:05d}nam a22{base:05d}   4500"
+    return leader + directory + "".join(datas) + RS
+
+
 def slice_shorthand(field: str) -> tuple[int, str] | None:
     """'951:a' → (951, 'a') (slice_marc_shorthand parity,
     SpchtUtility.py:243-256)."""
