@@ -474,6 +474,189 @@ WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id <
 SELECT q_id, rnk, vec_id, cos_sim FROM ranked WHERE rnk <= 5
 """
 
+# -------------------------------------------------- events / windows / sets
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum — the batch shape of a session window (SURVEY §2.8 gap)."""
+    ev = _t(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_u))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_s", new_sess).withColumn(
+        "session_seq", F.sum("new_s").over(w_u)
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_timestamp("ts")).alias("session_start"),
+        F.max(F.unix_timestamp("ts")).alias("session_end"),
+    )
+
+
+Q_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END
+           AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g)
+SELECT user_id, session_seq,
+       count(*)::BIGINT AS n_events,
+       min(floor(epoch(ts)))::BIGINT AS session_start,
+       max(floor(epoch(ts)))::BIGINT AS session_end
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def q_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch twin of the streaming
+    path in spcht_spark.streaming.incremental)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"), "event_type", "n"
+        )
+    )
+
+
+Q_TUMBLING_SQL = """
+SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS window_start,
+       event_type, count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (SURVEY §2.4 gap row)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+Q_DISTINCT_AGG_SQL = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (SURVEY §2.6 gap): purchasers who never errored."""
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return buyers.exceptAll(erroring).union(
+        buyers.intersect(erroring).withColumn("user_id", F.col("user_id") + 1000000)
+    )
+
+
+Q_INTERSECT_EXCEPT_SQL = """
+WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+     erroring AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT user_id FROM buyers EXCEPT SELECT user_id FROM erroring
+UNION ALL
+SELECT user_id + 1000000 FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM erroring)
+"""
+
+
+def q_antijoin_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 delete-matching-subjects parity (WorkOrder.py:875-942): the
+    per-subject HTTP DELETE loop becomes ONE anti-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+Q_ANTIJOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_max_age_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 max_age delta-fetch parity (WorkOrder.py:702-707): timestamp
+    watermark filter, pushed to the scan."""
+    from spcht_spark.streaming.incremental import max_age_filter
+
+    ev = _t(spark, sf_dir, "events")
+    out = max_age_filter(ev, "ts", "2024-01-30 00:00:00", 7 * 24 * 60)
+    return out.select("event_id", "event_type", F.unix_timestamp("ts").alias("ts_epoch"))
+
+
+Q_MAX_AGE_SQL = """
+SELECT event_id, event_type, floor(epoch(ts))::BIGINT AS ts_epoch FROM events
+WHERE ts >= TIMESTAMP '2024-01-30 00:00:00' - INTERVAL 7 DAY
+"""
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets/rollup (SURVEY §2.4 gap): region → nation rollup."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT r_name, n_name, count(*)::BIGINT AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2 CDC parity: diff two order snapshots cut at different dates."""
+    from spcht_spark.streaming.incremental import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < "1998-01-01")
+    new = o.filter(F.col("o_orderdate") < "2000-01-01").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 == 0, F.round(F.col("o_totalprice") * 1.1, 2))
+        .otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, "o_orderkey", ["o_totalprice", "o_orderstatus"])
+
+
+Q_CDC_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderdate < '1998-01-01'),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderdate < '2000-01-01')
+SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'removed'
+            WHEN old.o_totalprice <> new.o_totalprice
+              OR old.o_orderstatus <> new.o_orderstatus THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+"""
+
+
 # ----------------------------------------- dedup / text-analysis (module ops)
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,6 +817,14 @@ QUERIES = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "cosine_topk": q_cosine_topk,
+    "sessionize_events": q_sessionize_events,
+    "tumbling_window_counts": q_tumbling_window_counts,
+    "distinct_agg": q_distinct_agg,
+    "intersect_except": q_intersect_except,
+    "antijoin_purge": q_antijoin_purge,
+    "max_age_delta": q_max_age_delta,
+    "rollup_agg": q_rollup_agg,
+    "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "language_id": q_language_id,
     "token_stats": q_token_stats,
@@ -662,6 +853,14 @@ ORACLES = {
     "token_count": Q_TOKEN_COUNT_SQL,
     "quality_score": Q_QUALITY_SQL,
     "cosine_topk": Q_COSINE_SQL,
+    "sessionize_events": Q_SESSIONIZE_SQL,
+    "tumbling_window_counts": Q_TUMBLING_SQL,
+    "distinct_agg": Q_DISTINCT_AGG_SQL,
+    "intersect_except": Q_INTERSECT_EXCEPT_SQL,
+    "antijoin_purge": Q_ANTIJOIN_SQL,
+    "max_age_delta": Q_MAX_AGE_SQL,
+    "rollup_agg": Q_ROLLUP_SQL,
+    "cdc_snapshot_diff": Q_CDC_SQL,
     "ngram_jaccard_pairs": Q_NGRAM_JACCARD_SQL,
     "language_id": _langid_sql(),
     "token_stats": Q_TOKEN_STATS_SQL,
