@@ -3,10 +3,13 @@ re-expressed for the new engine). Run as
 ``python -m spcht_spark.cli <verb> ...`` or via spark-submit --py-files.
 
 Verbs:
-  full-order      create + run (or resume) an index-build work order
-  continue-order  resume an existing order  (--ContinueWorkOrder parity)
-  check-order     metrics rollup            (--CheckWorkOrder parity)
-  query           top-k BM25 over a committed index (exact or wand)
+  full-order         create + run (or resume) an index-build work order
+  continue-order     resume an existing order  (--ContinueWorkOrder parity)
+  check-order        metrics rollup            (--CheckWorkOrder parity)
+  query              top-k BM25 over a committed index (exact or wand)
+  check-descriptor   validate a descriptor     (--CheckSpcht parity)
+  compile-descriptor resolve $refs + print     (--CompileSpcht parity)
+  descriptor-fields  input fields a descriptor reads (--CheckFields parity)
 """
 
 from __future__ import annotations
@@ -62,8 +65,39 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("terms", nargs="+")
     sp.add_argument("-k", type=int, default=10)
     sp.add_argument("--engine", choices=["exact", "wand"], default="wand")
+    sp.add_argument("--mode", choices=["or", "and"], default="or")
+
+    for verb in ("check-descriptor", "compile-descriptor", "descriptor-fields"):
+        sp = sub.add_parser(verb)
+        sp.add_argument("descriptor")
 
     args = p.parse_args(argv)
+
+    # descriptor verbs are driver-side only — no SparkSession needed
+    if args.verb in ("check-descriptor", "compile-descriptor", "descriptor-fields"):
+        from spcht_spark.descriptor.compiler import (
+            descriptor_fields,
+            load_descriptor,
+            validate_descriptor,
+        )
+
+        try:
+            desc = load_descriptor(args.descriptor)
+        except (OSError, ValueError) as ex:
+            print(f"error: cannot load descriptor {args.descriptor}: {ex}", file=sys.stderr)
+            return 2
+        if args.verb == "check-descriptor":
+            problems = validate_descriptor(desc)
+            for prob in problems:
+                print(f"error: {prob}", file=sys.stderr)
+            print("OK" if not problems else f"{len(problems)} problem(s)")
+            return 0 if not problems else 2
+        if args.verb == "compile-descriptor":
+            print(json.dumps(desc, indent=1, sort_keys=True))
+        else:
+            print("\n".join(descriptor_fields(desc)))
+        return 0
+
     spark = get_spark("spcht_spark_cli", cores=args.cores)
 
     if args.verb in ("full-order", "continue-order"):
@@ -81,10 +115,13 @@ def main(argv: list[str] | None = None) -> int:
     elif args.verb == "query":
         idx = load_index(spark, args.workdir)
         q = [("q", args.terms, args.k)]
-        if args.engine == "wand":
+        if args.engine == "wand" and args.mode == "or":
             out = wand_topk(spark, idx.blocks, idx.dictionary, idx.stats, q)
         else:
-            out = exact_topk(spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, q)
+            out = exact_topk(
+                spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, q,
+                mode=args.mode,
+            )
         for r in out.orderBy("rank").collect():
             print(f"{r['rank']:>4}  doc {r['doc_id']:>10}  {r['score']:.6f}")
     spark.stop()

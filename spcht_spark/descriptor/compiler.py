@@ -600,6 +600,141 @@ def _compile_sub_data(node: dict, ctx: Ctx, fb: Column) -> Column:
     return F.when(~if_ok, fb).otherwise(result)
 
 
+# ------------------------------------------------------ saveas (P8)
+
+def saveas_table(descriptor: dict, df: DataFrame, dedup: bool = False) -> DataFrame:
+    """P8 ``saveas`` side-channel → (key, value) DataFrame.
+
+    Reference semantics (_node_postprocessing, SpchtCore.py:709-718 +
+    _add_to_save_as :1128-1134): a value is captured only on the
+    *prefixed* postprocessing pass (in practice the ``if_`` comparator
+    pipeline), AFTER ``if_cut`` but BEFORE prepend/append; ``get_save_as``
+    (:355-369) dedups on demand — exposed here via ``dedup``."""
+    ctx = Ctx.for_row(df.schema)
+    pieces = []
+
+    def walk(node):
+        if not node:
+            return
+        if "saveas" in node and "if_field" in node:
+            arr = _apply_match(
+                ctx.raw(node.get("source", "dict"), node["if_field"]),
+                node.get("if_match"),
+            )
+            cut = node.get("if_cut")
+            if cut:
+                rep = node.get("if_replace", "")
+                arr = F.transform(arr, lambda x: F.regexp_replace(x, cut, rep))
+            pieces.append((node["saveas"], arr))
+        walk(node.get("fallback"))
+        for child in (node.get("sub_nodes") or []) + (node.get("sub_data") or []):
+            walk(child)
+
+    for n in descriptor.get("nodes", []):
+        walk(n)
+    if not pieces:
+        return df.sparkSession.createDataFrame(
+            [], schema=T.StructType([T.StructField("key", T.StringType()),
+                                     T.StructField("value", T.StringType())])
+        )
+    def tag_with(key: str, arr: Column) -> Column:
+        # nb: a two-arg lambda in F.transform would receive (elem, index)
+        return F.transform(
+            arr, lambda v: F.struct(F.lit(key).alias("key"), v.alias("value"))
+        )
+
+    all_arr = F.concat(*[tag_with(key, arr) for key, arr in pieces])
+    out = df.select(F.explode(all_arr).alias("kv")).select("kv.key", "kv.value")
+    return out.distinct() if dedup else out
+
+
+# ----------------------------------------- static analysis / validation
+
+_NODE_STR_KEYS = ("field", "source", "predicate")
+
+
+def descriptor_fields(descriptor: dict) -> list[str]:
+    """P2 projection pushdown (get_node_fields, SpchtCore.py:1231-1255 +
+    recursion :1283-1327): the exact set of input fields the descriptor
+    reads — what the reference sends to Solr as ``fl`` and what we
+    ``select(...)`` before the pipeline (column pruning made explicit)."""
+    fields: set[str] = set()
+
+    def walk(node: dict | None):
+        if not node:
+            return
+        for key in ("field", "if_field", "joined_field"):
+            v = node.get(key)
+            if isinstance(v, str):
+                fields.add(v.split(">")[0].strip() if node.get("source") == "tree" else v)
+        for alt in node.get("alternatives") or []:
+            fields.add(alt)
+        for spec in node.get("insert_add_fields") or []:
+            fields.add(spec["field"])
+        for f in node.get("append_uuid_object_fields") or []:
+            fields.add(f)
+        walk(node.get("fallback"))
+        for child in (node.get("sub_nodes") or []) + (node.get("sub_data") or []):
+            walk(child)
+
+    for key in ("id_field",):
+        if descriptor.get(key):
+            fields.add(descriptor[key])
+    walk(descriptor.get("id_fallback"))
+    for n in descriptor.get("nodes", []):
+        walk(n)
+    # marc shorthands read the raw blob, not a column of their own
+    return sorted(f for f in fields if ":" not in f)
+
+
+def validate_descriptor(descriptor: dict) -> list[str]:
+    """Structural validation (schema_validation parity,
+    SpchtUtility.py:596-664, sans the jsonschema dependency): returns a
+    list of problems; empty = valid."""
+    problems: list[str] = []
+    for key in ("id_source", "id_field", "nodes"):
+        if key not in descriptor:
+            problems.append(f"missing header key '{key}'")
+
+    def check(node, path):
+        if not isinstance(node, dict):
+            problems.append(f"{path}: node is not an object")
+            return
+        if "source" not in node:
+            problems.append(f"{path}: missing 'source'")
+        elif node["source"] not in ("dict", "tree", "marc"):
+            problems.append(f"{path}: unknown source '{node['source']}'")
+        if "field" not in node and "static_field" not in node:
+            problems.append(f"{path}: missing 'field'")
+        if "if_field" in node:
+            if "if_condition" not in node:
+                problems.append(f"{path}: if_field without if_condition")
+            elif node["if_condition"] not in _BOOL_OPS:
+                problems.append(f"{path}: unknown if_condition '{node['if_condition']}'")
+            if node.get("if_condition") != "exi" and "if_value" not in node:
+                problems.append(f"{path}: if_condition without if_value")
+        for regex_key in ("match", "cut", "if_match", "if_cut"):
+            if regex_key in node:
+                try:
+                    re.compile(node[regex_key])
+                except re.error as ex:
+                    problems.append(f"{path}: bad regex in '{regex_key}': {ex}")
+        if "joined_field" in node and "predicate" not in node:
+            problems.append(f"{path}: joined_map node needs a predicate")
+        if node.get("fallback"):
+            check(node["fallback"], f"{path}.fallback")
+        for i, child in enumerate(node.get("sub_nodes") or []):
+            check(child, f"{path}.sub_nodes[{i}]")
+        for i, child in enumerate(node.get("sub_data") or []):
+            check(child, f"{path}.sub_data[{i}]")
+
+    for i, node in enumerate(descriptor.get("nodes", [])):
+        if "predicate" not in node:
+            problems.append(f"nodes[{i}]: missing 'predicate'")
+        check(node, f"nodes[{i}]")
+    return problems
+
+
 # -------------------------------------------------- descriptor compiler
 
 def _uses_marc(descriptor: dict) -> bool:

@@ -110,7 +110,8 @@ def score_postings(
             F.array_sort(F.collect_list(F.struct("term", "contrib"))),
             F.lit(0.0),
             lambda acc, x: acc + x["contrib"],
-        ).alias("score")
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_matched"),
     )
 
 
@@ -132,8 +133,11 @@ def exact_topk(
     dictionary: DataFrame,
     stats: DataFrame,
     queries: list[tuple[str, list[str], int]],
+    mode: str = "or",
 ) -> DataFrame:
-    """Exact disjunctive BM25 top-k for a batch of queries.
+    """Exact BM25 top-k for a batch of queries. mode='or' (disjunctive)
+    or 'and' (conjunctive: doc must match every query term; a term
+    absent from the index empties that query, Lucene MUST semantics).
 
     ``term IN (...)`` is applied before decode so parquet row-group
     min/max stats on the sorted term column prune the block scan.
@@ -146,10 +150,22 @@ def exact_topk(
         # No query term occurs in the corpus → empty result, stable schema.
         return spark.createDataFrame([], schema=TOPK_SCHEMA)
 
+    if mode == "and":
+        # drop queries containing any index-absent term (can't be satisfied)
+        queries = [q for q in queries if all(t in idfs for t in q[1])]
+        if not queries:
+            return spark.createDataFrame([], schema=TOPK_SCHEMA)
+
     qrows = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts)) if t in idfs]
     query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
 
     hit_blocks = blocks.filter(F.col("term").isin(list(idfs.keys())))
     postings = decode_blocks(hit_blocks)
     scores = score_postings(postings, doclens, idfs, avgdl, query_terms)
+    if mode == "and":
+        n_terms = {qid: len(set(ts)) for qid, ts, _ in queries}
+        nt_map = F.create_map(
+            *[x for qid, n in sorted(n_terms.items()) for x in (F.lit(qid), F.lit(n))]
+        )
+        scores = scores.filter(F.col("n_matched") == nt_map[F.col("query_id")])
     return topk(scores, {qid: k for qid, _, k in queries})

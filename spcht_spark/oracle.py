@@ -58,11 +58,15 @@ class Bm25Oracle:
         self.n_docs = len(self.dl)
         self.avgdl = sum(self.dl.values()) / self.n_docs
 
-    def query(self, terms: list[str], k: int) -> list[tuple[int, float]]:
-        """Top-k (doc_id, score), disjunctive (OR) semantics like Solr/Lucene."""
+    def query(
+        self, terms: list[str], k: int, mode: str = "or"
+    ) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score). mode='or' (Lucene SHOULD) or 'and'
+        (MUST: doc needs every query term; any index-absent term → empty)."""
         terms = sorted(set(terms))  # dedupe + deterministic summation order
         idfs = {t: idf(self.n_docs, self.df[t]) for t in terms if self.df[t] > 0}
         scores: dict[int, float] = {}
+        matched: dict[int, int] = {}
         for t in terms:
             if t not in idfs:
                 continue
@@ -71,5 +75,8 @@ class Bm25Oracle:
                 if tf:
                     s = term_score(tf, self.dl[doc_id], self.avgdl, idfs[t])
                     scores[doc_id] = scores.get(doc_id, 0.0) + s
+                    matched[doc_id] = matched.get(doc_id, 0) + 1
+        if mode == "and":
+            scores = {d: s for d, s in scores.items() if matched[d] == len(terms)}
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
