@@ -32,9 +32,15 @@ HI = int(os.environ.get("SPCHT_SCALE_HI", "8"))
 
 
 def worker(cores: int) -> None:
+    """One timed run: the REAL persisted build (work-order ladder,
+    parquet per stage — spcht_spark.plans.indexer), not the in-memory
+    variant: at scale intermediates must live off-heap."""
+    import shutil
+    import tempfile
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from spcht_spark.corpus import generate_corpus
-    from spcht_spark.index.build import build_index
+    from spcht_spark.plans.indexer import index_order, run_index_order
     from spcht_spark.session import get_spark
 
     spark = get_spark(f"scale_{cores}", cores=cores, shuffle_partitions=cores * 2)
@@ -42,14 +48,20 @@ def worker(cores: int) -> None:
         generate_corpus(spark, n_docs=N_DOCS, partitions=64).write.mode(
             "overwrite"
         ).parquet(CORPUS_PATH)
-    corpus = spark.read.parquet(CORPUS_PATH)
+    spark.read.parquet(CORPUS_PATH).count()  # touch input pages/footers
 
+    workdir = tempfile.mkdtemp(prefix=f"spcht_scale_{cores}_")
+    order = index_order(
+        workdir, f"scale{cores}",
+        lambda s: s.read.parquet(CORPUS_PATH),
+        blocks_partitions=cores * 2,
+        verify_sha256=False,  # uniform stage cost; invariant covered in pytest
+    )
     t0 = time.perf_counter()
-    idx = build_index(spark, corpus)
-    # materialize the full index (blocks + doclens + dictionary + stats)
+    idx = run_index_order(spark, order)
     n_blocks = idx.blocks.count()
-    idx.doclens.count(), idx.dictionary.count(), idx.stats.count()
     dt = time.perf_counter() - t0
+    shutil.rmtree(workdir, ignore_errors=True)
     print(
         json.dumps(
             {"cores": cores, "seconds": round(dt, 3),
@@ -59,12 +71,24 @@ def worker(cores: int) -> None:
     spark.stop()
 
 
+REPEATS = int(os.environ.get("SPCHT_SCALE_REPEATS", "3"))
+
+
 def run_level(cores: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
-        capture_output=True, text=True, check=True,
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    """Median of REPEATS cold one-shot runs (fresh JVM each): this VM's
+    memcg page-fault accounting makes single runs noisy; cold/cold at
+    both levels is apples-to-apples and the median tames outliers."""
+    results = []
+    for _ in range(REPEATS):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
+            capture_output=True, text=True, check=True,
+        )
+        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    results.sort(key=lambda r: r["seconds"])
+    med = results[len(results) // 2]
+    med["all_seconds"] = [r["seconds"] for r in results]
+    return med
 
 
 def main() -> None:

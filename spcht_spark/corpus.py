@@ -58,6 +58,7 @@ VOCAB = np.array(_HOT + _TAIL)
 _ranks = np.arange(len(VOCAB), dtype=np.float64)
 VOCAB_P = 1.0 / np.power(_ranks + 2.0, 1.07)
 VOCAB_P /= VOCAB_P.sum()
+_VOCAB_CDF = np.cumsum(VOCAB_P)  # inverse-CDF sampling beats choice(p=) ~20×
 
 _DIRS = ["core", "util", "net", "io", "api", "db", "cli", "test", "pkg"]
 
@@ -84,7 +85,8 @@ def _gen_one(doc_id: int, min_lines: int, max_lines: int) -> tuple:
     commit = hashlib.sha1(f"{repo}/{path}/{GLOBAL_SEED}".encode()).hexdigest()
     n_lines = int(rng.integers(min_lines, max_lines + 1))
     lens = rng.integers(3, 13, size=n_lines)
-    toks = VOCAB[rng.choice(len(VOCAB), p=VOCAB_P, size=int(lens.sum()))]
+    draws = rng.random(int(lens.sum()))
+    toks = VOCAB[np.searchsorted(_VOCAB_CDF, draws, side="right")]
     lines, pos = [], 0
     for ln in lens:
         lines.append(" ".join(toks[pos : pos + ln]))

@@ -44,7 +44,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from spcht_spark.index.compress import BLOCK_SIZE, encode_postings_block, varbyte_encode
+from spcht_spark.index.compress import (
+    BLOCK_SIZE,
+    delta_gaps_blocked,
+    varbyte_encode_blocks,
+)
 from spcht_spark.index.tokenize import tokens_arrow, tokens_jvm
 from spcht_spark.oracle import B, K1
 
@@ -122,28 +126,38 @@ def build_blocks(
     bs = block_size
 
     def make_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
+        # fully vectorized: one argsort + three whole-group varbyte
+        # passes sliced at block boundaries (no per-block Python work)
         term = pdf["term"].iat[0]
         shard = int(pdf["shard"].iat[0])
-        docs = pdf["doc_id"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        dls = pdf["dl"].to_numpy(np.int64)
+        order = np.argsort(pdf["doc_id"].to_numpy(np.int64), kind="stable")
+        docs = pdf["doc_id"].to_numpy(np.int64)[order]
+        tfs = pdf["tf"].to_numpy(np.int64)[order]
+        dls = pdf["dl"].to_numpy(np.int64)[order]
         parts = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * (dls / avgdl)))
-        rows = []
-        for seq, s in enumerate(range(0, len(docs), bs)):
-            e = s + bs
-            dblk, tblk, lblk = docs[s:e], tfs[s:e], dls[s:e]
-            docs_bin, tfs_bin = encode_postings_block(dblk, tblk)
-            dls_bin = varbyte_encode(lblk.astype(np.uint64))
-            rows.append(
-                (
-                    term, 0, shard, seq,
-                    int(dblk[0]), int(dblk[-1]), len(dblk),
-                    docs_bin, tfs_bin, dls_bin, float(parts[s:e].max()),
-                )
-            )
-        out = pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
-        return out
+
+        n = len(docs)
+        starts = np.arange(0, n, bs)
+        ends = np.minimum(starts + bs, n)
+        docs_bins = varbyte_encode_blocks(delta_gaps_blocked(docs, bs), bs)
+        tfs_bins = varbyte_encode_blocks(tfs.astype(np.uint64), bs)
+        dls_bins = varbyte_encode_blocks(dls.astype(np.uint64), bs)
+        max_parts = np.maximum.reduceat(parts, starts)
+        return pd.DataFrame(
+            {
+                "term": term,
+                "term_hash": 0,
+                "shard": shard,
+                "block_seq": np.arange(len(starts), dtype=np.int32),
+                "first_doc": docs[starts],
+                "last_doc": docs[ends - 1],
+                "n_docs": (ends - starts).astype(np.int32),
+                "docs_bin": docs_bins,
+                "tfs_bin": tfs_bins,
+                "dls_bin": dls_bins,
+                "max_part": max_parts,
+            }
+        )
 
     blocks = with_dl.groupBy("term", "shard").applyInPandas(make_blocks, schema=BLOCKS_SCHEMA)
     # term_hash recomputed column-side (cheap, avoids carrying it through
@@ -158,8 +172,12 @@ def build_index(
     shard_span: int = DEFAULT_SHARD_SPAN,
 ) -> IndexTables:
     """In-memory (un-checkpointed) build — the checkpointed, resumable
-    variant lives in spcht_spark.plans.indexer."""
-    tokens = build_tokens(corpus, tokenizer)
+    variant lives in spcht_spark.plans.indexer.
+
+    Tokens are materialized once (localCheckpoint): doclens, dictionary
+    and blocks all branch from them, and without materialization each
+    branch would re-run the tokenizer over the full corpus."""
+    tokens = build_tokens(corpus, tokenizer).localCheckpoint()
     doclens = build_doclens(tokens)
     dictionary = build_dictionary(tokens)
     stats = build_stats(doclens)

@@ -41,6 +41,32 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     return vals
 
 
+def varbyte_encode_blocks(arr: np.ndarray, block_size: int) -> list[bytes]:
+    """Encode ``arr`` in one vectorized pass, returning per-block byte
+    strings (equivalent to varbyte_encode on each block slice, ~10-30×
+    fewer Python-level calls for large posting lists)."""
+    v = np.ascontiguousarray(arr, dtype=np.uint64)
+    if len(v) == 0:
+        return []
+    buf = varbyte_encode(v)
+    lengths = np.searchsorted(_THRESHOLDS, v, side="right") + 1
+    ends = np.cumsum(lengths)
+    starts = np.concatenate(([0], ends[:-1]))
+    return [
+        buf[starts[s] : ends[min(s + block_size, len(v)) - 1]]
+        for s in range(0, len(v), block_size)
+    ]
+
+
+def delta_gaps_blocked(docs: np.ndarray, block_size: int) -> np.ndarray:
+    """Delta gaps with the delta chain reset at every block start (first
+    element of each block stays the absolute doc id)."""
+    d = np.asarray(docs, dtype=np.uint64)
+    gaps = np.diff(d, prepend=np.uint64(0))
+    gaps[0:len(d):block_size] = d[0:len(d):block_size]
+    return gaps
+
+
 def encode_postings_block(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
     """doc_ids (sorted asc) → delta-gap varbyte; tfs → varbyte."""
     d = np.asarray(doc_ids, dtype=np.uint64)

@@ -25,6 +25,11 @@ def get_spark(
     partitions default to ``cores`` — on a real cluster this would be
     2-3x total executor cores; AQE coalesces the excess either way.
     """
+    # Arrow's default jemalloc pool madvises huge pages, which on this
+    # memcg-accounted VM turns first-touch page faults into a kernel-CPU
+    # storm (measured 3× slower tokenize). mimalloc avoids it. Must be
+    # set before the JVM (and its python workers) start.
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
     if shuffle_partitions is None:
@@ -37,7 +42,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPCHT_SPARK_DRIVER_MEM", "24g"))
+        # local mode: driver heap IS executor memory; undersizing it
+        # turns cached/checkpointed intermediates into GC storms (a 24g
+        # heap made a 48k-doc build 3x slower at 8 cores than at 2)
+        .config("spark.driver.memory", os.environ.get("SPCHT_SPARK_DRIVER_MEM", "64g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
