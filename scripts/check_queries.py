@@ -1,0 +1,79 @@
+"""Ad-hoc driver-gate replica: run named queries() entries vs oracle_sql()
+at a given sf dir (default sf0.01, the driver's scale).
+
+Usage: python scripts/check_queries.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from spcht_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)]
+    return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or sorted(entrymod.queries().keys())
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = entrymod.oracle_sql()
+    qs = entrymod.queries()
+    failed = []
+    for name in names:
+        got = qs[name](spark, sf_dir).toPandas()
+        if name not in oracles:
+            print(f"{name}: rows={len(got)} (no oracle)")
+            continue
+        want = con.execute(oracles[name]).df()
+        status = []
+        if sorted(got.columns) != sorted(want.columns):
+            status.append(f"SCHEMA {sorted(got.columns)} vs {sorted(want.columns)}")
+        if len(got) != len(want):
+            status.append(f"ROWS {len(got)} vs {len(want)}")
+        if not status:
+            g, w = canon(got), canon(want)
+            for col in g.columns:
+                gv, wv = g[col], w[col]
+                try:
+                    if gv.dtype.kind == "f" or wv.dtype.kind == "f":
+                        ok = np.allclose(gv.astype(float), wv.astype(float),
+                                         atol=1e-9, equal_nan=True)
+                    else:
+                        ok = gv.astype(object).tolist() == wv.astype(object).tolist()
+                except Exception as e:  # noqa: BLE001
+                    ok = False
+                    status.append(f"COMPARE-ERR {col}: {e}")
+                    continue
+                if not ok:
+                    status.append(f"VALUES {col}")
+        if status:
+            failed.append(name)
+            print(f"{name}: FAIL  {'; '.join(status)}")
+        else:
+            print(f"{name}: ok rows={len(got)}")
+    print(f"\n{len(names) - len(failed)}/{len(names)} green")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -91,9 +91,22 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.sum("contrib").alias("raw"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc(F.round("raw", 6)), F.asc("doc_id"))
+    # Two-stage top-k: per-(query, doc-hash-salt) partial top-k first, so
+    # no single reducer ever receives every candidate doc of a query (the
+    # plain per-query window is ≤|queries| tasks — a straggler/OOM shape
+    # at 100× corpus). Union of per-salt top-k ⊇ global top-k, so the
+    # final narrow window over ≤ 64·k rows/query is exact.
+    order = (F.desc(F.round("raw", 6)), F.asc("doc_id"))
+    w_salt = Window.partitionBy("query_id", "salt").orderBy(*order)
+    pre = (
+        scored.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+        .withColumn("r1", F.row_number().over(w_salt))
+        .filter(F.col("r1") <= DOC_K)
+        .drop("salt", "r1")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pre.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= DOC_K)
         .select("query_id", "rank", "doc_id", F.round("raw", 4).alias("score"))
     )
@@ -123,6 +136,57 @@ WITH {_TOK_SQL},
     FROM scored)
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
 """
+
+# ------------------------------------- the real index engine, oracle-checked
+
+def _index_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.col("text").alias("content"))
+
+
+def _rerank_rounded(out: DataFrame) -> DataFrame:
+    """Engine ranks by exact float score; the oracle compare needs the
+    rounded-deterministic order (round(score,6) desc, doc asc). Engine
+    queries overfetch k+5 so boundary ties resolve inside this window."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DOC_K)
+        .select("query_id", "rank", "doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+def q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL index engine under the driver oracle (north rule): SPIMI
+    tokens → doclens/dictionary/stats → varbyte posting blocks →
+    exact-decode BM25 top-k (spcht_spark.index.build/compress/query).
+    Whitespace tokenizer so the token stream matches the SQL oracle;
+    shard_span=1024 exercises the multi-shard doc-range layout and the
+    exact per-shard merge. Replaces the reference's Solr query path
+    (/root/reference/Spcht/Core/WorkOrder.py:693)."""
+    from spcht_spark.index.build import build_index
+    from spcht_spark.index.query import exact_topk
+
+    idx = build_index(spark, _index_corpus(spark, sf_dir), tokenizer="ws", shard_span=1024)
+    qs = [(qid, ts, DOC_K + 5) for qid, ts in DOC_QUERIES]
+    out = exact_topk(spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, qs)
+    return _rerank_rounded(out)
+
+
+def q_index_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND over the same compressed index, same oracle: the
+    pruned path must return the identical top-k as exact decode AND as
+    the DuckDB SQL (spcht_spark.index.wand)."""
+    from spcht_spark.index.build import build_index
+    from spcht_spark.index.wand import wand_topk
+
+    idx = build_index(spark, _index_corpus(spark, sf_dir), tokenizer="ws", shard_span=1024)
+    qs = [(qid, ts, DOC_K + 5) for qid, ts in DOC_QUERIES]
+    out = wand_topk(spark, idx.blocks, idx.dictionary, idx.stats, qs)
+    return _rerank_rounded(out)
+
 
 # ------------------------------------------------- index-stats aggregates
 
@@ -503,7 +567,7 @@ WITH g AS (
 s AS (
   SELECT user_id, ts,
          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_seq
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
   FROM g)
 SELECT user_id, session_seq,
        count(*)::BIGINT AS n_events,
@@ -800,6 +864,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "bm25_topk": q_bm25_topk,
+    "index_bm25_topk": q_index_bm25_topk,
+    "index_wand_topk": q_index_wand_topk,
     "term_stats": q_term_stats,
     "doclen_hist": q_doclen_hist,
     "regex_match_filter": q_regex_match_filter,
@@ -836,6 +902,8 @@ QUERIES = {
 
 ORACLES = {
     "bm25_topk": _bm25_sql(),
+    "index_bm25_topk": _bm25_sql(),
+    "index_wand_topk": _bm25_sql(),
     "term_stats": Q_TERM_STATS_SQL,
     "doclen_hist": Q_DOCLEN_HIST_SQL,
     "regex_match_filter": Q_REGEX_MATCH_SQL,

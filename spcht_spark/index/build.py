@@ -49,7 +49,7 @@ from spcht_spark.index.compress import (
     delta_gaps_blocked,
     varbyte_encode_blocks,
 )
-from spcht_spark.index.tokenize import tokens_arrow, tokens_jvm
+from spcht_spark.index.tokenize import tokens_arrow, tokens_jvm, tokens_ws
 from spcht_spark.oracle import B, K1
 
 DEFAULT_SHARD_SPAN = 1 << 17  # 131072 docs / shard; override per scale
@@ -85,6 +85,8 @@ def build_tokens(corpus: DataFrame, tokenizer: str = "arrow") -> DataFrame:
         return tokens_arrow(corpus)
     if tokenizer == "jvm":
         return tokens_jvm(corpus)
+    if tokenizer == "ws":
+        return tokens_ws(corpus)
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
 

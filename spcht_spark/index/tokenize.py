@@ -102,6 +102,23 @@ def tokens_arrow(corpus: DataFrame) -> DataFrame:
     return corpus.select("doc_id", "content").mapInPandas(invert, schema=TOKENS_SCHEMA)
 
 
+def tokens_ws(corpus: DataFrame) -> DataFrame:
+    """Whitespace tokens (single-space split), pure Catalyst.
+
+    Exists so the full index engine (build → compress → exact/WAND query)
+    can be DuckDB-oracled by the driver: ``split(content, ' ')`` filtered
+    non-empty is exactly ``string_split(text, ' ') ... WHERE term <> ''``
+    in ANSI SQL, whereas TOKEN_REGEX is not SQL-portable."""
+    return (
+        corpus.select(
+            "doc_id", F.explode(F.split("content", " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def tokens_jvm(corpus: DataFrame) -> DataFrame:
     """Same output, pure Catalyst expressions (no Python at all)."""
     # regexp_extract_all needs the pattern escaped into a SQL literal.
