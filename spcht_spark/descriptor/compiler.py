@@ -324,7 +324,13 @@ def _compile_if(node: dict, ctx: Ctx) -> Column:
             return F.coalesce(e, F.lit(False))
         hit = F.exists(arr, eq_any)
         if cond == "==":
-            return F.when(raw_empty, F.lit(False)).otherwise(F.coalesce(hit, F.lit(False)))
+            # Missing if_field → True, mirroring the upstream quirk: the
+            # reference's missing-field gate tests the NORMALIZED condition
+            # against ("=", ">", ">=") (SpchtCore.py:983), but
+            # SPCHT_BOOL_OPS normalizes "=" to "==" (SpchtConstants.py:25),
+            # so "==" never matches the tuple and falls into the
+            # return-True branch. Pinned in test_descriptor_parity.
+            return F.when(raw_empty, F.lit(True)).otherwise(F.coalesce(hit, F.lit(False)))
         return F.when(raw_empty, F.lit(True)).otherwise(~F.coalesce(hit, F.lit(False)))
 
     num = _num(if_value)
@@ -346,7 +352,8 @@ def _compile_if(node: dict, ctx: Ctx) -> Column:
         pred = lambda x: F.coalesce(x == F.lit(str(if_value)), F.lit(False))
     hit = F.coalesce(F.exists(arr, pred), F.lit(False))
     if cond == "==":
-        return F.when(raw_empty, F.lit(False)).otherwise(hit)
+        # Missing field → True (upstream quirk, see the list branch above).
+        return F.when(raw_empty, F.lit(True)).otherwise(hit)
     # "!=": any element unequal → True; empty field → True; all equal → False
     if num is not None:
         ne = lambda x: F.coalesce(x.try_cast("double") != F.lit(float(num)), F.lit(True))
@@ -392,12 +399,14 @@ def _apply_insert_into(arr: Column, node: dict, ctx: Ctx) -> Column:
     return build([], [arr] + add_arrs)
 
 
-def _uuid_name_expr(node: dict, ctx: Ctx) -> tuple[Column, Column]:
-    """(name string, all-fields-present bool) for append_uuid_object_fields.
+def _uuid_name_expr(
+    node: dict, ctx: Ctx, key: str = "append_uuid_object_fields"
+) -> tuple[Column, Column]:
+    """(name string, all-fields-present bool) for append_uuid_*_fields.
     Reproduces str(list-of-SpchtThird) concatenation (SpchtCore.py:1136-1145,
     repr at :1403-1412) — golden vector fbe44eac-… (tests/test_spcht_internals.py:492)."""
     parts, ok = [], F.lit(True)
-    for fieldname in node["append_uuid_object_fields"]:
+    for fieldname in node[key]:
         raw = ctx.raw(node.get("source", "dict"), fieldname)
         ok = ok & (F.size(raw) > 0)
         rendered = F.concat(
@@ -448,6 +457,50 @@ def _mk_triples(objs: Column, predicate: Column, node: dict, subject: Column) ->
     )
 
 
+def _alts_raw(node: dict, ctx: Ctx) -> Column:
+    """Main-field extraction with `alternatives` (first non-empty wins,
+    SpchtCore.py:549-560)."""
+    source = node.get("source", "dict")
+    field = ctx.raw(source, node["field"])
+    if "alternatives" in node:
+        cands = [field] + [ctx.raw(source, alt) for alt in node["alternatives"]]
+        picked = _empty_str_arr()
+        for cand in reversed(cands):
+            picked = F.when(F.size(cand) > 0, cand).otherwise(picked)
+        field = picked
+    return field
+
+
+def _main_stages(
+    node: dict, ctx: Ctx
+) -> tuple[Column, Column, Column, Column, Column, Column]:
+    """The plain-node main-value pipeline (_recursion_node,
+    SpchtCore.py:545-600): (raw, after_match, if_ok, mapped, vals,
+    uuid_ok). Shared by compile_node and saveas_table (the latter needs
+    the stage sizes to reproduce fallback/if reachability)."""
+    if "static_field" in node:
+        # static_field replaces extraction entirely (SpchtCore.py:546-547)
+        # — `field` may legitimately be absent, so don't resolve it.
+        raw = F.array(F.lit(str(node["static_field"])))
+    else:
+        raw = _alts_raw(node, ctx)
+
+    after_match = _apply_match(raw, node.get("match"))
+    if_ok = _compile_if(node, ctx) if "if_field" in node else F.lit(True)
+    post = _apply_post(after_match, node)
+    mapped = _apply_mapping(post, node.get("mapping"), node.get("mapping_settings"))
+
+    vals = mapped
+    if "insert_into" in node:
+        vals = _apply_insert_into(vals, node, ctx)
+    uuid_ok = F.lit(True)
+    if "append_uuid_object_fields" in node:
+        name, uuid_ok = _uuid_name_expr(node, ctx)
+        u = _uuid5_expr(name)
+        vals = F.transform(vals, lambda x: F.concat(x, u))
+    return raw, after_match, if_ok, mapped, vals, uuid_ok
+
+
 def compile_node(node: dict, ctx: Ctx, predicate: str | None = None) -> Column:
     """One node → array<struct<s,p,o,u,tag>> (s NULL = record subject)."""
     predicate = node.get("predicate", predicate)
@@ -467,38 +520,27 @@ def compile_node(node: dict, ctx: Ctx, predicate: str | None = None) -> Column:
     if "sub_data" in node:
         return _compile_sub_data(node, ctx, fb)
 
-    source = node.get("source", "dict")
-    raw = ctx.raw(source, node["field"])
-    if "static_field" in node:
-        raw = F.array(F.lit(str(node["static_field"])))
-    if "alternatives" in node:
-        cands = [raw] + [ctx.raw(source, alt) for alt in node["alternatives"]]
-        picked = _empty_str_arr()
-        for cand in reversed(cands):
-            picked = F.when(F.size(cand) > 0, cand).otherwise(picked)
-        raw = picked
+    raw, after_match, if_ok, mapped, vals, uuid_ok = _main_stages(node, ctx)
 
-    after_match = _apply_match(raw, node.get("match"))
-    if_ok = _compile_if(node, ctx) if "if_field" in node else F.lit(True)
-    post = _apply_post(after_match, node)
-    mapped = _apply_mapping(post, node.get("mapping"), node.get("mapping_settings"))
-
-    vals = mapped
-    if "insert_into" in node:
-        vals = _apply_insert_into(vals, node, ctx)
-    uuid_ok = F.lit(True)
-    if "append_uuid_object_fields" in node:
-        name, uuid_ok = _uuid_name_expr(node, ctx)
-        u = _uuid5_expr(name)
-        vals = F.transform(vals, lambda x: F.concat(x, u))
+    if "append_uuid_predicate_fields" in node:
+        # Documented descriptor key (SpchtSchema.json:193: "adds to the
+        # end of the predicate value", all fields required) — the
+        # reference declares it in its schema/constants/field-analysis
+        # (SpchtCore.py:1311) and we apply it symmetrically to
+        # append_uuid_object_fields (:579-580).
+        pname, p_ok = _uuid_name_expr(node, ctx, "append_uuid_predicate_fields")
+        pred_col = F.concat(pred_col, _uuid5_expr(pname))
+        uuid_ok = uuid_ok & p_ok
 
     own = _mk_triples(vals, pred_col, node, F.lit(None).cast("string"))
 
     if "sub_nodes" in node:
         # parent value must be singular; children's subject = parent value
-        # (_handle_sub_node, SpchtCore.py:1058-1090)
-        parent_ok = F.size(mapped) == 1
-        sub_subject = F.element_at(mapped, 1)
+        # AFTER insert_into/append_uuid — the reference hands
+        # _handle_sub_node the fully post-processed main_value
+        # (SpchtCore.py:578-600), so `vals`, not `mapped`.
+        parent_ok = F.size(vals) == 1
+        sub_subject = F.element_at(vals, 1)
         subs = [
             F.transform(
                 compile_node(child, ctx),
@@ -526,13 +568,7 @@ def _compile_joined(node: dict, ctx: Ctx, predicate: str | None) -> Column:
     joined_field; per-position object pipeline + predicate mapping with
     the static predicate as $default; n=1 joined value broadcasts."""
     source = node.get("source", "dict")
-    field = ctx.raw(source, node["field"])
-    if "alternatives" in node:
-        cands = [field] + [ctx.raw(source, alt) for alt in node["alternatives"]]
-        picked = _empty_str_arr()
-        for cand in reversed(cands):
-            picked = F.when(F.size(cand) > 0, cand).otherwise(picked)
-        field = picked
+    field = _alts_raw(node, ctx)
     if_ok = _compile_if(node, ctx) if "if_field" in node else F.lit(True)
     joined = ctx.raw(source, node["joined_field"])
 
@@ -609,29 +645,85 @@ def saveas_table(descriptor: dict, df: DataFrame, dedup: bool = False) -> DataFr
     _add_to_save_as :1128-1134): a value is captured only on the
     *prefixed* postprocessing pass (in practice the ``if_`` comparator
     pipeline), AFTER ``if_cut`` but BEFORE prepend/append; ``get_save_as``
-    (:355-369) dedups on demand — exposed here via ``dedup``."""
+    (:355-369) dedups on demand — exposed here via ``dedup``.
+
+    Capture REACHABILITY mirrors where the reference actually executes
+    that pass: _handle_if must be *reached* and must get past its early
+    exits. Per node shape:
+
+    * plain node   — main field non-empty after alternatives AND after
+      ``match`` (EXIT 1-3 precede _handle_if, SpchtCore.py:545-568);
+    * joined node  — main field non-empty after alternatives
+      (_joined_map :812-829, no match pre-filter);
+    * sub_data     — unconditional (_handle_sub_data :1106 runs it first).
+
+    Inside _handle_if (:941-997): an invalid comparator returns before
+    postprocessing, ``exi`` returns before it, and a missing/empty
+    ``if_field`` returns before it — none of those capture. Fallback
+    nodes capture only when their parent failed (the five EXITs);
+    sub_nodes children only when the parent succeeded with a singular
+    value; sub_data children only when the node's own if passed."""
     ctx = Ctx.for_row(df.schema)
     pieces = []
 
-    def walk(node):
+    def capture_arr(node) -> Column:
+        arr = _apply_match(
+            ctx.raw(node.get("source", "dict"), node["if_field"]),
+            node.get("if_match"),
+        )
+        cut = node.get("if_cut")
+        if cut:
+            rep = node.get("if_replace", "")
+            arr = F.transform(arr, lambda x: F.regexp_replace(x, cut, rep))
+        return arr
+
+    def walk(node, prior: Column):
         if not node:
             return
-        if "saveas" in node and "if_field" in node:
-            arr = _apply_match(
-                ctx.raw(node.get("source", "dict"), node["if_field"]),
-                node.get("if_match"),
+        src = node.get("source", "dict")
+        is_joined = "joined_value" in node or "joined_field" in node
+        is_sub_data = "sub_data" in node
+
+        if_ok = _compile_if(node, ctx) if "if_field" in node else F.lit(True)
+        if is_joined:
+            main = _compile_joined(node, ctx, node.get("predicate", "p"))
+            failed = F.size(main) == 0
+            reached_if = F.size(_alts_raw(node, ctx)) > 0
+            child_prior = F.lit(False)  # joined has no sub_nodes/sub_data
+        elif is_sub_data:
+            failed = ~if_ok
+            reached_if = F.lit(True)
+            child_prior = prior & if_ok
+        else:
+            raw, after_match, if_ok, mapped, vals, _uuid_ok = _main_stages(node, ctx)
+            failed = (
+                (F.size(raw) == 0)
+                | (F.size(after_match) == 0)
+                | ~if_ok
+                | (F.size(mapped) == 0)
             )
-            cut = node.get("if_cut")
-            if cut:
-                rep = node.get("if_replace", "")
-                arr = F.transform(arr, lambda x: F.regexp_replace(x, cut, rep))
-            pieces.append((node["saveas"], arr))
-        walk(node.get("fallback"))
-        for child in (node.get("sub_nodes") or []) + (node.get("sub_data") or []):
-            walk(child)
+            reached_if = (F.size(raw) > 0) & (F.size(after_match) > 0)
+            child_prior = prior & ~failed & (F.size(vals) == 1)
+
+        if "saveas" in node and "if_field" in node:
+            cond = _BOOL_OPS.get(node["if_condition"])
+            if cond is not None and cond != "exi":
+                if_raw_nonempty = F.size(ctx.raw(src, node["if_field"])) > 0
+                gate = prior & reached_if & if_raw_nonempty
+                pieces.append(
+                    (
+                        node["saveas"],
+                        F.when(gate, capture_arr(node)).otherwise(_empty_str_arr()),
+                    )
+                )
+        walk(node.get("fallback"), prior & failed)
+        for child in node.get("sub_nodes") or []:
+            walk(child, child_prior)
+        for child in node.get("sub_data") or []:
+            walk(child, child_prior)
 
     for n in descriptor.get("nodes", []):
-        walk(n)
+        walk(n, F.lit(True))
     if not pieces:
         return df.sparkSession.createDataFrame(
             [], schema=T.StructType([T.StructField("key", T.StringType()),
@@ -671,7 +763,9 @@ def descriptor_fields(descriptor: dict) -> list[str]:
             fields.add(alt)
         for spec in node.get("insert_add_fields") or []:
             fields.add(spec["field"])
-        for f in node.get("append_uuid_object_fields") or []:
+        for f in (node.get("append_uuid_object_fields") or []) + (
+            node.get("append_uuid_predicate_fields") or []
+        ):  # get_node_fields_recursion parity (SpchtCore.py:1309-1312)
             fields.add(f)
         walk(node.get("fallback"))
         for child in (node.get("sub_nodes") or []) + (node.get("sub_data") or []):

@@ -52,28 +52,36 @@ def parse_marc_record(rec: str) -> list[tuple]:
     """One MARC21 string → [(tag, ind1, ind2, subfield, value)].
     Control fields get subfield 'none' and indicators 'i1'/'i2' are
     exposed as pseudo-subfields (extract_dictmarc_value parity,
-    SpchtCore.py:1190-1217)."""
+    SpchtCore.py:1190-1217).
+
+    ISO 2709 record length, base address, and directory length/start
+    values are BYTE counts, so all slicing happens on the UTF-8 byte
+    encoding (a str-index slice mis-addresses every field after the
+    first multi-byte character — umlauts are routine in MARC library
+    data); field payloads are decoded back to str afterwards. The
+    reference gets this for free by handing pymarc bytes."""
     if not rec:
         return []
-    rec = _fix_record(rec)
+    b = _fix_record(rec).encode("utf-8")
+    fsb = FS.encode()
     out: list[tuple] = []
     try:
-        base = int(rec[12:17])
+        base = int(b[12:17])
     except (ValueError, IndexError):
         return []
-    directory = rec[24 : base - 1]  # trailing FS before base
+    directory = b[24 : base - 1]  # trailing FS before base
     for off in range(0, len(directory) - 11, 12):
         entry = directory[off : off + 12]
-        tag_s = entry[0:3]
         try:
-            tag = int(tag_s)
+            tag = int(entry[0:3])
             length = int(entry[3:7])
             start = int(entry[7:12])
         except ValueError:
             continue
-        data = rec[base + start : base + start + length]
-        if data.endswith(FS):
-            data = data[:-1]
+        data_b = b[base + start : base + start + length]
+        if data_b.endswith(fsb):
+            data_b = data_b[:-1]
+        data = data_b.decode("utf-8", errors="replace")
         if tag < 10:  # control field
             out.append((tag, None, None, "none", data))
             continue
@@ -111,7 +119,9 @@ def build_marc_record(fields) -> str:
     :func:`parse_marc_record`).
 
     fields: [(tag, value)] for control fields, or
-            [(tag, ind1, ind2, [(code, val), ...])] for data fields."""
+            [(tag, ind1, ind2, [(code, val), ...])] for data fields.
+    Directory lengths/starts and the leader counts are UTF-8 BYTE
+    counts per ISO 2709 (non-ASCII values must round-trip)."""
     datas, entries, pos = [], [], 0
     for f in fields:
         if len(f) == 2:
@@ -120,9 +130,10 @@ def build_marc_record(fields) -> str:
         else:
             tag, i1, i2, subs = f
             data = i1 + i2 + "".join(SS + c + v for c, v in subs) + FS
-        entries.append(f"{int(tag):03d}{len(data):04d}{pos:05d}")
+        nbytes = len(data.encode("utf-8"))
+        entries.append(f"{int(tag):03d}{nbytes:04d}{pos:05d}")
         datas.append(data)
-        pos += len(data)
+        pos += nbytes
     directory = "".join(entries) + FS
     base = 24 + len(directory)
     total = base + pos + 1

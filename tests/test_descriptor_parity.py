@@ -261,9 +261,24 @@ def test_if_basic(row_df):
 def test_if_missing_field_infinite_negativity(row_df):
     node = dict(IF_NODE, if_field="flounder")
     assert run_if(row_df, node) is False  # '>' on missing → False
+    node["if_condition"] = ">="
+    assert run_if(row_df, node) is False
     node["if_condition"] = "!="
     assert run_if(row_df, node) is True
     node["if_condition"] = "<"
+    assert run_if(row_df, node) is True
+
+
+def test_if_missing_field_equal_is_true_upstream_quirk(row_df):
+    # The reference's missing-field gate (SpchtCore.py:983) tests the
+    # NORMALIZED condition against ("=", ">", ">="), but SPCHT_BOOL_OPS
+    # maps "=" → "==" so "==" never matches and falls through to True.
+    # Pinned deliberately: parity over plausibility.
+    node = dict(IF_NODE, if_field="flounder", if_condition="==")
+    assert run_if(row_df, node) is True
+    node["if_condition"] = "eq"
+    assert run_if(row_df, node) is True
+    node["if_value"] = [5, "6"]  # list-== on missing field → also True
     assert run_if(row_df, node) is True
 
 
@@ -333,6 +348,29 @@ def test_static_field(row_df):
     assert objs(row_df, node) == ["static_text"]
 
 
+def test_static_field_without_field_key(row_df):
+    # validate_descriptor accepts 'field' OR 'static_field'; the compiler
+    # must agree (static_field replaces extraction, SpchtCore.py:546-547).
+    node = {"static_field": "solo", "source": "dict", "predicate": "p"}
+    assert objs(row_df, node) == ["solo"]
+
+
+def test_sub_nodes_subject_after_insert_into(row_df):
+    # The reference hands _handle_sub_node the main_value AFTER
+    # insert_into/append_uuid (SpchtCore.py:578-600): the child subject
+    # is the templated value, not the pre-template one.
+    node = {
+        "field": "salmon", "source": "dict", "predicate": "p", "type": "uri",
+        "insert_into": "https://x/{}",
+        "sub_nodes": [
+            {"field": "copperfish", "source": "dict", "predicate": "c"},
+        ],
+    }
+    rows = run_node(row_df, node)
+    assert ("c", "Pink", False, "https://x/5") in rows
+    assert ("p", "https://x/5", True, None) in rows
+
+
 def test_append_uuid_golden(row_df):
     node = {
         "field": "salmon", "source": "dict", "predicate": "p",
@@ -342,6 +380,20 @@ def test_append_uuid_golden(row_df):
     assert objs(row_df, node) == [
         "https://test.whargable/fbe44eac-4162-5ee5-bf36-88ea7914eb6d"
     ]
+
+
+def test_append_uuid_predicate_fields(row_df):
+    # SpchtSchema.json:193: same uuid5 construction as object fields,
+    # appended to the PREDICATE; all named fields must exist.
+    node = {
+        "field": "salmon", "source": "dict", "predicate": "p/",
+        "static_field": "obj",
+        "append_uuid_predicate_fields": ["salmon", "perch", "trout"],
+    }
+    rows = run_node(row_df, node)
+    assert rows == [("p/fbe44eac-4162-5ee5-bf36-88ea7914eb6d", "obj", False, None)]
+    node["append_uuid_predicate_fields"] = ["salmon", "missing_f"]
+    assert run_node(row_df, node) == []
 
 
 def test_append_uuid_missing_field_kills_node(row_df):

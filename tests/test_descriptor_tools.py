@@ -4,6 +4,7 @@ descriptor validation, and conjunctive BM25 mode."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import types as T
 
 from spcht_spark.corpus import REFERENCE_QUERIES
 from spcht_spark.descriptor.compiler import (
@@ -73,7 +74,7 @@ def test_saveas_table(spark):
         "nodes": [
             {"source": "dict", "field": "title", "predicate": "p",
              "required": "optional", "saveas": "years",
-             "if_field": "dates", "if_condition": "exi",
+             "if_field": "dates", "if_condition": "!=", "if_value": "never",
              "if_cut": "-.*$", "if_replace": ""},
         ],
     }
@@ -88,6 +89,55 @@ def test_saveas_table(spark):
     assert got == [("years", "1901"), ("years", "1999"), ("years", "2001")]
     deduped = saveas_table(desc, df, dedup=True).count()
     assert deduped == 3  # all distinct here
+
+
+def test_saveas_reachability_gates(spark):
+    """Capture only where the reference's _handle_if actually runs its
+    prefixed postprocessing: not for 'exi' (returns at :977-982 before
+    it), not when the main field is empty or match-filtered empty
+    (EXIT 1-3 precede _handle_if, :545-568), not when if_field itself is
+    empty (:983-991), and for fallback nodes only when the parent
+    failed."""
+    df = spark.createDataFrame(
+        [("r1", "T", ["1999"], None)],
+        T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("dates", T.ArrayType(T.StringType())),
+            T.StructField("ghost", T.StringType()),
+        ]),
+    )
+
+    def keys(desc):
+        return sorted(r["key"] for r in saveas_table(desc, df).collect())
+
+    base = {"source": "dict", "predicate": "p", "required": "optional",
+            "if_field": "dates", "if_condition": "!=", "if_value": "x",
+            "saveas": "k"}
+    # exi never captures
+    assert keys({"id_source": "dict", "id_field": "id", "nodes": [
+        dict(base, field="title", if_condition="exi")]}) == []
+    # empty main field → _handle_if never reached
+    assert keys({"id_source": "dict", "id_field": "id", "nodes": [
+        dict(base, field="ghost")]}) == []
+    # match-filtered-to-empty main field → EXIT 3 before _handle_if
+    assert keys({"id_source": "dict", "id_field": "id", "nodes": [
+        dict(base, field="title", match="ZZZ")]}) == []
+    # empty if_field → _handle_if returns before postprocessing
+    assert keys({"id_source": "dict", "id_field": "id", "nodes": [
+        dict(base, field="title", if_field="ghost")]}) == []
+    # healthy node captures
+    assert keys({"id_source": "dict", "id_field": "id", "nodes": [
+        dict(base, field="title")]}) == ["k"]
+    # fallback captures only when the parent failed
+    parent_ok = {"source": "dict", "field": "title", "predicate": "p",
+                 "required": "optional",
+                 "fallback": dict(base, field="title", saveas="fb")}
+    assert keys({"id_source": "dict", "id_field": "id",
+                 "nodes": [parent_ok]}) == []
+    parent_fail = dict(parent_ok, field="ghost")
+    assert keys({"id_source": "dict", "id_field": "id",
+                 "nodes": [parent_fail]}) == ["fb"]
 
 
 def test_conjunctive_bm25(spark, small_index, small_corpus_pd):

@@ -66,6 +66,29 @@ def test_parse_marc_record():
     assert vals[(100, "i1")] == ["1"]
 
 
+def test_parse_marc_record_non_ascii():
+    # ISO 2709 lengths/offsets are BYTE counts: umlauts in one field must
+    # not shift the slicing of every later field (module build_marc_record
+    # emits byte-correct directories; parse must consume them as bytes).
+    from spcht_spark.sources.marc import build_marc_record
+
+    rec = build_marc_record([
+        ("001", "0-ïd"),
+        ("100", "1", " ", [("a", "Müller, Jürgen"), ("d", "1901–1980")]),
+        ("245", "0", "0", [("a", "Straße über Köln"), ("b", "中文テスト")]),
+        ("951", " ", " ", [("a", "BO")]),
+    ])
+    vals = {}
+    for tag, _i1, _i2, sub, val in parse_marc_record(rec):
+        vals.setdefault((tag, sub), []).append(val)
+    assert vals[(1, "none")] == ["0-ïd"]
+    assert vals[(100, "a")] == ["Müller, Jürgen"]
+    assert vals[(100, "d")] == ["1901–1980"]
+    assert vals[(245, "a")] == ["Straße über Köln"]
+    assert vals[(245, "b")] == ["中文テスト"]
+    assert vals[(951, "a")] == ["BO"]  # field AFTER the multi-byte ones
+
+
 def test_marc_fix_escaped_controls():
     rec = build_marc(MARC_FIELDS)
     escaped = rec.replace(FS, "#30;").replace(SS, "#31;").replace(RS, "#29;")
