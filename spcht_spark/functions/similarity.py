@@ -130,8 +130,15 @@ def ivf_topk(
     """IVF: centroids from a seeded bounded sample (k-means few rounds,
     numpy driver-side — sample is capped so this never scales with the
     corpus), assignment + probing via broadcast centroid array."""
+    # Deterministic bounded sample: orderBy+limit compiles to TakeOrdered
+    # (per-partition top-k, no global sort), so centroid seeding is
+    # reproducible across runs/partitionings — a bare limit() is not.
     sampled = np.array(
-        [r[0] for r in corpus.select(vec_col).limit(sample).collect()], dtype=np.float64
+        [
+            r[1]
+            for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+        ],
+        dtype=np.float64,
     )
     rng = np.random.Generator(np.random.PCG64(seed))
     cent = sampled[rng.choice(len(sampled), size=min(n_cells, len(sampled)), replace=False)]

@@ -85,9 +85,19 @@ class _TermCursor:
 
 
 def _wand_one_group(
-    pdf: pd.DataFrame, k: int, idfs: dict[str, float], avgdl: float
+    pdf: pd.DataFrame,
+    k: int,
+    idfs: dict[str, float],
+    avgdl: float,
+    theta0: float = -math.inf,
 ) -> list[tuple[int, float]]:
-    """Exact top-k of one (query, shard) group with block-max pruning."""
+    """Exact top-k of one (query, shard) group with block-max pruning.
+
+    ``theta0`` is an externally-proven score floor (the θ cascade: the
+    kth score of an already-scored shard). Rank-safe: it only *skips*
+    docs that provably cannot reach the global top-k (k docs with score
+    ≥ theta0 already exist elsewhere); the tie guard keeps exact-θ
+    boundary docs, and the global merge re-ranks exactly."""
     cursors = [
         _TermCursor(term, idfs[term], grp, avgdl)
         for term, grp in pdf.groupby("term")
@@ -104,6 +114,7 @@ def _wand_one_group(
             break
         active.sort()
         theta = heap[0][0] if len(heap) == k else -math.inf
+        theta = max(theta, theta0)
         guard = 1e-12 * max(1.0, abs(theta)) if theta > -math.inf else 0.0
 
         cum, pivot = 0.0, -1
@@ -178,8 +189,18 @@ def wand_topk(
     dictionary: DataFrame,
     stats: DataFrame,
     queries: list[tuple[str, list[str], int]],
+    theta_cascade: bool = True,
 ) -> DataFrame:
-    """Batch top-k via per-(query, shard) WAND + exact global merge."""
+    """Batch top-k via per-(query, shard) WAND + exact global merge.
+
+    With ``theta_cascade`` (the scale refinement): the single hottest
+    shard per query (most matching blocks — block counts come from the
+    already-tiny blocks metadata, no decode) is WANDed first with
+    θ=-inf; its kth score is then broadcast as the initial θ floor for
+    every remaining shard, so they prune from the first block instead
+    of warming up their local heaps from -inf. At web scale this turns
+    millions of cold per-shard loops into pre-pruned ones. Rank-safe
+    (see _wand_one_group) and rank-identity-tested in tests/test_wand."""
     stats_row = stats.collect()[0]
     avgdl = float(stats_row["avgdl"])
     all_terms = sorted({t for _, ts, _ in queries for t in ts})
@@ -195,13 +216,65 @@ def wand_topk(
         F.broadcast(query_terms), "term"
     )
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        query_id = key[0]
-        res = _wand_one_group(pdf, ks[query_id], idfs, avgdl)
-        return pd.DataFrame(
-            {"query_id": query_id, "doc_id": [d for d, _ in res],
-             "score": [s for _, s in res]}
-        )
+    def runner(theta0s: dict[str, float]):
+        def run(
+            key: tuple[str, int], pdf: pd.DataFrame
+        ) -> pd.DataFrame:
+            query_id = key[0]
+            res = _wand_one_group(
+                pdf, ks[query_id], idfs, avgdl,
+                theta0=theta0s.get(query_id, -math.inf),
+            )
+            return pd.DataFrame(
+                {"query_id": query_id, "doc_id": [d for d, _ in res],
+                 "score": [s for _, s in res]}
+            )
 
-    cand = hit.groupBy("query_id", "shard").applyInPandas(run, schema=_CAND_SCHEMA)
-    return topk(cand, ks)
+        return run
+
+    hit = hit.localCheckpoint(eager=False)  # reused by count + both phases
+    if theta_cascade:
+        # Measured (BENCH.md): ~30% fewer block decodes on 2-term queries
+        # once shards hold dozens of blocks per term; at a single shard
+        # the extra barrier is pure overhead — skip it. The distinct
+        # count runs over query-pruned block METADATA, not postings.
+        n_shards = hit.agg(F.countDistinct("shard")).collect()[0][0]
+        theta_cascade = bool(n_shards and n_shards > 1)
+    if not theta_cascade:
+        cand = hit.groupBy("query_id", "shard").applyInPandas(
+            runner({}), schema=_CAND_SCHEMA
+        )
+        return topk(cand, ks)
+
+    # Phase 1 — seed: hottest shard per query (ties: lowest shard).
+    from pyspark.sql import Window
+
+    w_hot = Window.partitionBy("query_id").orderBy(
+        F.desc("n_blocks"), F.asc("shard")
+    )
+    seeds = (
+        hit.groupBy("query_id", "shard")
+        .agg(F.count(F.lit(1)).alias("n_blocks"))
+        .withColumn("rn", F.row_number().over(w_hot))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "shard")
+    )
+    seed_cand = (
+        hit.join(F.broadcast(seeds), ["query_id", "shard"])
+        .groupBy("query_id", "shard")
+        .applyInPandas(runner({}), schema=_CAND_SCHEMA)
+        .localCheckpoint()  # collected once for θ, reused in the union
+    )
+    theta0s: dict[str, float] = {}
+    for r in seed_cand.groupBy("query_id").agg(
+        F.min("score").alias("kth"), F.count(F.lit(1)).alias("n")
+    ).collect():
+        if int(r["n"]) >= ks[r["query_id"]]:  # floor only if heap filled
+            theta0s[r["query_id"]] = float(r["kth"])
+
+    # Phase 2 — remaining shards start at the broadcast θ floor.
+    rest = hit.join(F.broadcast(seeds), ["query_id", "shard"], "left_anti")
+    rest_cand = rest.groupBy("query_id", "shard").applyInPandas(
+        runner(theta0s), schema=_CAND_SCHEMA
+    )
+    return topk(seed_cand.unionByName(rest_cand), ks)

@@ -66,6 +66,24 @@ def test_parse_marc_record():
     assert vals[(100, "i1")] == ["1"]
 
 
+def test_catalog_parquet_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spcht_spark.sources.catalog import read_table, table_format, write_table
+
+    assert table_format() == "parquet"  # sandbox ships no Iceberg jar
+    assert table_format("iceberg") == "iceberg"  # explicit override wins
+    df = spark.range(10).withColumn("p", (F.col("id") % 2).cast("int"))
+    write_table(df, str(tmp_path / "t"), partition_by=["p"])
+    back = read_table(spark, str(tmp_path / "t"))
+    assert back.count() == 10
+    pruned = back.filter(F.col("p") == 1)
+    assert pruned.count() == 5
+    # the partition predicate must prune at the scan, not post-filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "(p" in plan
+
+
 def test_parse_marc_record_non_ascii():
     # ISO 2709 lengths/offsets are BYTE counts: umlauts in one field must
     # not shift the slicing of every later field (module build_marc_record
