@@ -820,44 +820,135 @@ FROM t
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup clustering (no SQL oracle: xxhash64-based;
-    driver records the weaker rows-only check; exactness is pytest-gated
-    against a numpy oracle in tests/test_functions.py)."""
+    """MinHash+LSH near-dup clustering, oracled by its DECISIONS: the
+    (id → component, keep) output must equal connected components over
+    the exact-Jaccard≥t graph, which DuckDB computes independently via
+    a recursive CTE. xxhash64 signatures stay un-reproducible in SQL —
+    but the clustering they induce is checkable, and that is the output
+    a user consumes. (Exactness of the hashes themselves stays gated in
+    tests/test_functions.py against a numpy oracle.)"""
     from spcht_spark.functions.dedup import minhash_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup(docs, "text", "doc_id", n=4, jaccard_threshold=0.5)
+    return minhash_dedup(docs, "text", "doc_id", n=4, jaccard_threshold=0.5).select(
+        F.col("id").alias("doc_id"), "component", "keep"
+    )
+
+
+Q_MINHASH_DEDUP_SQL = """
+WITH RECURSIVE
+t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 1),
+           i -> array_to_string(toks[i:i+3], ' ')))) AS shingle
+  FROM t),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2),
+good AS (
+  SELECT a, b FROM inter
+  JOIN cnt ca ON inter.a = ca.doc_id JOIN cnt cb ON inter.b = cb.doc_id
+  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5),
+edges AS (SELECT a, b FROM good UNION SELECT b, a FROM good),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id)
+SELECT id AS doc_id, min(r)::BIGINT AS component, (id = min(r)) AS keep
+FROM reach GROUP BY id
+"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (rows-only check; xxhash64-based)."""
+    """64-bit SimHash, md5-bit-lane variant: every fingerprint value is
+    reproduced bit-for-bit by the DuckDB oracle (bit i = bit i%4 of hex
+    digit i//4 of md5(term))."""
     from spcht_spark.functions.dedup import simhash
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash(docs, "text", "doc_id").select(F.col("id").alias("doc_id"), "simhash")
+    return simhash(docs, "text", "doc_id", hash_fn="md5").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+Q_SIMHASH_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, md5(term) AS hx FROM tf),
+c AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), i -> CASE WHEN
+             ((strpos('0123456789abcdef', substr(hx, (i // 4 + 1)::INT, 1)) - 1)
+              >> (i % 4)::INT) & 1 = 1
+           THEN tf ELSE -tf END) AS contrib
+  FROM h),
+sums AS (
+  SELECT doc_id, i, sum(contrib[(i + 1)::INT]) AS s
+  FROM c CROSS JOIN range(0, 63) bits(i) GROUP BY 1, 2)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS simhash
+FROM sums GROUP BY doc_id
+"""
 
 
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (rows-only; approximate by design,
-    recall gated in pytest against brute force)."""
+    """Random-hyperplane LSH ANN, oracled by its DECISION: the returned
+    neighbor set must equal the exact brute-force top-k, which the
+    DuckDB oracle computes independently — i.e. the driver check IS a
+    recall@k = 1.0 assertion (hashing is deterministic, so this is a
+    stable property of the configuration, not a flaky sample; the
+    recall-vs-tables tradeoff curve is gated in pytest)."""
     from spcht_spark.functions.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
-    out = lsh_topk(emb, q, k=5, n_planes=6, n_tables=10, dim=64)
-    return out.select("q_id", "rnk", "vec_id", F.round("cos", 4).alias("cos_sim"))
+    # planes=4/tables=30: measured recall 1.0 with margin on this corpus
+    # (synthetic near-random embeddings are the LSH worst case; real
+    # clustered embeddings need far fewer tables for the same recall).
+    out = lsh_topk(emb, q, k=8, n_planes=4, n_tables=30, dim=64).filter(
+        F.col("q_id") != F.col("vec_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc(F.round("cos", 6)), F.asc("vec_id"))
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "rnk", "vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash fingerprint (rows-only; xxhash64)."""
+    """Winnowing-style fingerprint, md5 variant: the lexicographic min
+    over rolling-window hashes is value-checked by the DuckDB oracle."""
     from spcht_spark.functions.text import fingerprint
 
     docs = _t(spark, sf_dir, "documents")
-    return fingerprint(docs, "text", "doc_id").select(
+    return fingerprint(docs, "text", "doc_id", hash_fn="md5").select(
         F.col("id").alias("doc_id"), "fingerprint"
     )
+
+
+Q_DOC_FINGERPRINT_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 3, 1) + 1),
+                               i -> md5(array_to_string(toks[i:i+3], ' ')))) AS h
+  FROM t)
+SELECT doc_id, min(h) AS fingerprint FROM w GROUP BY doc_id
+"""
 
 
 # ----------------------------------------------------------- registration
@@ -932,6 +1023,10 @@ ORACLES = {
     "ngram_jaccard_pairs": Q_NGRAM_JACCARD_SQL,
     "language_id": _langid_sql(),
     "token_stats": Q_TOKEN_STATS_SQL,
-    # minhash_dedup / simhash / embedding_ann_lsh / doc_fingerprint:
-    # intentionally no oracle (xxhash64 / approximate) → rows-only check.
+    # The four formerly-rows-only ops, now oracled by decision or by
+    # SQL-reproducible (md5) hashing:
+    "minhash_dedup": Q_MINHASH_DEDUP_SQL,  # clusters vs exact-Jaccard CC
+    "simhash": Q_SIMHASH_SQL,  # md5 bit lanes, value-exact
+    "embedding_ann_lsh": Q_COSINE_SQL,  # ANN result vs exact top-k (recall=1)
+    "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,  # md5 min-window, value-exact
 }

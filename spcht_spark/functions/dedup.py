@@ -84,10 +84,22 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, max_bucket: int | None = None
+) -> DataFrame:
     """(a, b) candidate pairs sharing ≥1 band. Shuffle key = (band,
     band_hash): Zipf-safe because identical docs share buckets but
-    distinct docs spread across 2^64 hash space."""
+    distinct docs spread across 2^64 hash space.
+
+    ``max_bucket`` bounds the per-bucket pair blowup: a bucket of B ids
+    normally emits B² /2 pairs — at web scale near-identical boilerplate
+    makes B huge. Buckets larger than ``max_bucket`` are CHAIN-linked
+    instead (id-sorted neighbors), emitting B-1 pairs while preserving
+    the connectivity that the downstream component stage needs (any two
+    true near-dups in the bucket stay transitively connected iff the
+    chain links verify; exact duplicates should be pre-collapsed before
+    MinHash — see minhash_dedup — so mega-buckets of identical docs
+    never reach here)."""
     num_hashes_col = F.size("sig")
     rows_per_band = (num_hashes_col / F.lit(bands)).cast("int")
     banded = sigs.select(
@@ -104,38 +116,115 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
             )
         ).alias("b"),
     ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
+
+    if max_bucket is None:
+        left = banded.alias("l")
+        right = banded.alias("r")
+        return (
+            left.join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bh") == F.col("r.bh"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+            .distinct()
+        )
+
+    w = Window.partitionBy("band", "bh")
+    sized = banded.withColumn("rn", F.row_number().over(w.orderBy("id"))).withColumn(
+        "n", F.count(F.lit(1)).over(w)
+    )
+    small = sized.filter(F.col("n") <= max_bucket)
+    big = sized.filter(F.col("n") > max_bucket)
+    small_pairs = (
+        small.alias("l")
+        .join(
+            small.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bh") == F.col("r.bh"))
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .distinct()
     )
-    return pairs
+    big_pairs = (
+        big.alias("l")
+        .join(
+            big.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.rn") + 1 == F.col("r.rn")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def jaccard_pairs(
-    shingled: DataFrame, pairs: DataFrame | None = None
+    shingled: DataFrame,
+    pairs: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard. With ``pairs`` given, verifies only the
-    candidates (broadcast-able); without, computes all co-shingle pairs
-    (inverted-index style join on shingle — only docs sharing a shingle
-    ever meet, never a cartesian)."""
+    """Exact n-gram Jaccard.
+
+    With ``pairs`` given, verifies ONLY the candidates and stays
+    hot-key-bounded: intersections come from pairs⋈shingles(a) then an
+    equi-join on (b, shingle) — a shingle shared by m docs never
+    produces an m² group, only |pairs incident to it|.
+
+    Without ``pairs``, candidates come from the inverted-index self-join
+    on shingle (only co-shingled docs ever meet — never a cartesian),
+    but a shingle shared by m docs still yields m² join rows.
+    ``max_shingle_df`` bounds that: shingles with document frequency
+    above it are dropped from CANDIDATE GENERATION only (a stopword
+    shingle carries ~no Jaccard signal), then the surviving pairs are
+    recounted exactly over ALL shingles via the bounded pair path — so
+    reported Jaccard values stay exact; only pairs whose every shared
+    shingle is hot can be missed."""
     counts = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    s1 = shingled.alias("s1")
-    s2 = shingled.alias("s2")
-    inter = (
-        s1.join(s2, (F.col("s1.shingle") == F.col("s2.shingle")) & (F.col("s1.id") < F.col("s2.id")))
-        .groupBy(F.col("s1.id").alias("a"), F.col("s2.id").alias("b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+
+    if pairs is None and max_shingle_df is not None:
+        rare = shingled.join(
+            shingled.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle"),
+            "shingle",
+        )
+        pairs = (
+            rare.alias("s1")
+            .join(
+                rare.alias("s2"),
+                (F.col("s1.shingle") == F.col("s2.shingle"))
+                & (F.col("s1.id") < F.col("s2.id")),
+            )
+            .select(F.col("s1.id").alias("a"), F.col("s2.id").alias("b"))
+            .distinct()
+        )
+
     if pairs is not None:
-        inter = inter.join(pairs, ["a", "b"], "inner")
+        a_sh = pairs.join(
+            shingled.select(F.col("id").alias("a"), "shingle"), "a"
+        ).select("a", "b", "shingle")
+        inter = (
+            a_sh.join(
+                shingled.select(F.col("id").alias("b"), "shingle"), ["b", "shingle"]
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        s1 = shingled.alias("s1")
+        s2 = shingled.alias("s2")
+        inter = (
+            s1.join(
+                s2,
+                (F.col("s1.shingle") == F.col("s2.shingle"))
+                & (F.col("s1.id") < F.col("s2.id")),
+            )
+            .groupBy(F.col("s1.id").alias("a"), F.col("s2.id").alias("b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     ca = counts.select(F.col("id").alias("a"), F.col("n").alias("na"))
     cb = counts.select(F.col("id").alias("b"), F.col("n").alias("nb"))
     return (
@@ -148,21 +237,34 @@ def jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """(id, simhash: long) — 64-bit sign aggregate of token-hash bits
-    weighted by tf. Bit lanes are an array expression; one shuffle."""
+    weighted by tf. Bit lanes are an array expression; one shuffle.
+
+    hash_fn="xxhash64" (default, fastest) takes bit i of the 64-bit term
+    hash. hash_fn="md5" takes bit (i%4) of hex digit (i//4) of md5(term)
+    — identical quality, and reproducible in ANSI SQL, which is what
+    lets the driver's DuckDB oracle check every fingerprint value."""
     toks = tokens_col(text_col)
     tf = (
         df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", F.xxhash64("term"))
     )
+    if hash_fn == "xxhash64":
+        tf = tf.withColumn("h", F.xxhash64("term"))
+        bit = lambda i: F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+    elif hash_fn == "md5":
+        tf = tf.withColumn("h", F.md5("term"))
+        digit = lambda j: F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int")
+        bit = lambda i: F.shiftright(digit(i // 4), i % 4).bitwiseAND(F.lit(1))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     contribs = F.array(
         *[
-            F.when(
-                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")
-            ).otherwise(-F.col("tf"))
+            F.when(bit(i) == 1, F.col("tf")).otherwise(-F.col("tf"))
             for i in range(64)
         ]
     )
@@ -185,19 +287,29 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def near_dup_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
-    """(id, component) via iterative min-label propagation over the
-    candidate-pair graph — pure joins, converges in O(diameter) rounds
-    (near-dup clusters are tiny, so a handful of rounds suffices)."""
+def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(id, component) via min-label propagation WITH star rewiring —
+    pure joins, no driver-side union-find.
+
+    After each propagation round the current star graph {id — label} is
+    ADDED to the original edges as shortcut links: a node's label chases
+    its parent's label (pointer jumping), so convergence is
+    O(log diameter) instead of the naive O(diameter) — a 200-node chain
+    (the shape the LSH bucket cap emits) converges in ~8 rounds, not
+    200. Labels only copy ids from the same true component, so shortcuts
+    never merge across components; the original edges stay in the set,
+    so no connectivity is ever lost (replacing them outright CAN strand
+    a local minimum whose neighbors all jumped elsewhere)."""
     # Materialize the graph once: the loop must not re-derive the (often
     # expensive) candidate lineage every round. localCheckpoint also caps
     # plan growth across iterations (else round k replans k nested joins).
-    edges = (
+    base_edges = (
         pairs.select("a", "b")
         .union(pairs.select(F.col("b"), F.col("a")))
         .distinct()
         .localCheckpoint()
     )
+    edges = base_edges
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
@@ -229,6 +341,17 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+        # star shortcuts: next round also propagates along id ↔ label
+        # links (original edges kept — see docstring)
+        star = new_labels.filter(F.col("id") != F.col("component"))
+        edges = (
+            base_edges.union(
+                star.select(F.col("id").alias("a"), F.col("component").alias("b"))
+            )
+            .union(star.select(F.col("component").alias("a"), F.col("id").alias("b")))
+            .distinct()
+            .localCheckpoint()
+        )
     return labels
 
 
@@ -241,17 +364,43 @@ def minhash_dedup(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     seed: int = 7,
+    max_bucket: int | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle → minhash → LSH bucket join →
-    exact-Jaccard verify → connected components → (id, component, keep)."""
-    sh = ngram_shingles(df, text_col, id_col, n).cache()
-    sigs = minhash_signatures(sh, num_hashes, seed)
-    cands = lsh_candidate_pairs(sigs, bands)
-    verified = jaccard_pairs(sh, cands).filter(F.col("jaccard") >= jaccard_threshold)
-    comps = near_dup_components(verified)
-    ids = df.select(F.col(id_col).alias("id"))
-    labeled = ids.join(comps, "id", "left").select(
-        "id", F.coalesce("component", F.col("id")).alias("component")
+    """Full near-dup pipeline: exact-dup pre-collapse → shingle →
+    minhash → LSH bucket join → exact-Jaccard verify → connected
+    components → (id, component, keep).
+
+    Pre-collapse (exact, not approximate): byte-identical docs are
+    reduced to their min-id representative BEFORE MinHash, then expanded
+    back through the digest map afterwards. Identical docs have
+    identical signatures → identical buckets → Jaccard 1 ≥ any
+    threshold, so a cluster of C copies used to reach LSH as a C-sized
+    bucket (C² candidate pairs); now it contributes one rep. Output is
+    bit-identical to the uncollapsed pipeline (component label = min id,
+    and reps are per-digest min ids). At web scale this is the fix for
+    boilerplate mega-buckets; ``max_bucket``/``max_shingle_df`` bound
+    whatever near-identical (but not byte-identical) mass remains."""
+    digest = df.select(
+        F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("digest")
     )
+    rep_of_digest = digest.groupBy("digest").agg(F.min("id").alias("rep"))
+    reps = df.join(
+        rep_of_digest.select(F.col("rep").alias(id_col)).distinct(), id_col
+    )
+
+    sh = ngram_shingles(reps, text_col, id_col, n).cache()
+    sigs = minhash_signatures(sh, num_hashes, seed)
+    cands = lsh_candidate_pairs(sigs, bands, max_bucket=max_bucket)
+    verified = jaccard_pairs(sh, cands, max_shingle_df=max_shingle_df).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    comps = near_dup_components(verified)
+
+    # Expand rep components back to every id through the digest map.
+    rep_comp = rep_of_digest.join(
+        comps.select(F.col("id").alias("rep"), "component"), "rep", "left"
+    ).select("digest", F.coalesce("component", F.col("rep")).alias("component"))
+    labeled = digest.join(rep_comp, "digest").select("id", "component")
     w = Window.partitionBy("component").orderBy("id")
     return labeled.withColumn("keep", F.row_number().over(w) == 1)

@@ -99,14 +99,27 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def fingerprint(df: DataFrame, text_col: str, id_col: str, window: int = 4) -> DataFrame:
+def fingerprint(
+    df: DataFrame, text_col: str, id_col: str, window: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """(id, fingerprint) — winnowing-style: min over rolling-window token
-    n-gram hashes; robust to small edits (document fingerprinting op)."""
+    n-gram hashes; robust to small edits (document fingerprinting op).
+
+    hash_fn="xxhash64" → bigint fingerprint (default, fastest);
+    hash_fn="md5" → lexicographic-min md5 hex string — same selection
+    semantics, reproducible in ANSI SQL for the driver's DuckDB oracle."""
     toks = tokens_col(text_col)
     n_windows = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
+    if hash_fn == "xxhash64":
+        h = lambda c: F.xxhash64(c)
+    elif hash_fn == "md5":
+        h = lambda c: F.md5(c)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     win_hashes = F.transform(
         F.sequence(F.lit(1), n_windows),
-        lambda i: F.xxhash64(F.array_join(F.slice(toks, i, window), " ")),
+        lambda i: h(F.array_join(F.slice(toks, i, window), " ")),
     )
     return df.select(
         F.col(id_col).alias("id"),

@@ -66,6 +66,68 @@ def test_minhash_dedup_pipeline(docs):
     assert keep[4] and keep[5] and keep[6]
 
 
+def test_minhash_dedup_planted_identical_cluster(spark):
+    """Hot-key bound: a big cluster of byte-identical docs must collapse
+    BEFORE MinHash (one representative) — O(cluster) work, not
+    O(cluster²) candidate pairs — while the output still labels every
+    member with the same component and keeps exactly the min id."""
+    n_clone = 2000
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+            for i in range(n_clone)]
+    rows += [(10_000 + i, f"unique text number {i} spark w{i} x{i} y{i} z{i} q{i}")
+             for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = D.minhash_dedup(df, "text", "doc_id", n=3, jaccard_threshold=0.8).collect()
+    comp = {r["id"]: r["component"] for r in out}
+    keeps = sorted(r["id"] for r in out if r["keep"])
+    assert all(comp[i] == 0 for i in range(n_clone))
+    assert keeps == [0] + [10_000 + i for i in range(8)]
+    # the candidate stage only ever saw the representatives: rebuild the
+    # rep-level pipeline and count pairs — must be O(#reps), not O(n²)
+    reps = df.groupBy(F.sha2("text", 256).alias("d")).agg(F.min("doc_id").alias("doc_id"))
+    sh = D.ngram_shingles(df.join(reps.select("doc_id"), "doc_id"), "text", "doc_id", n=3)
+    n_pairs = D.lsh_candidate_pairs(D.minhash_signatures(sh)).count()
+    assert n_pairs <= 9 * 8 / 2  # 9 reps max
+
+
+def test_lsh_bucket_cap_chains_not_squares(spark):
+    """max_bucket: an oversized LSH bucket emits a chain (B-1 pairs),
+    not B²/2, while keeping its members transitively connected."""
+    n = 200
+    # near-identical docs (one trailing unique token) → same band buckets
+    rows = [(i, "one two three four five six seven eight nine ten t" + str(i % 2))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = D.minhash_signatures(D.ngram_shingles(df, "text", "doc_id", n=3))
+    unbounded = D.lsh_candidate_pairs(sigs).count()
+    capped = D.lsh_candidate_pairs(sigs, max_bucket=16).count()
+    assert unbounded > 4000  # ~n²/2 within each half
+    assert capped < 3 * n  # chains: O(n)
+    # connectivity preserved: components over capped pairs still group
+    # each near-identical half into one cluster
+    comps = D.near_dup_components(D.lsh_candidate_pairs(sigs, max_bucket=16))
+    labels = {r["id"]: r["component"] for r in comps.collect()}
+    assert len({labels[i] for i in range(0, n, 2)}) == 1
+    assert len({labels[i] for i in range(1, n, 2)}) == 1
+
+
+def test_jaccard_pairs_max_shingle_df(docs):
+    """df-threshold drops hot shingles from candidate generation only:
+    surviving pairs keep EXACT jaccard values."""
+    sh = D.ngram_shingles(docs, "text", "id", n=3)
+    full = {(r["a"], r["b"]): r["jaccard"] for r in D.jaccard_pairs(sh).collect()}
+    # threshold high enough to keep all shingles → identical output
+    same = {(r["a"], r["b"]): r["jaccard"]
+            for r in D.jaccard_pairs(sh, max_shingle_df=100).collect()}
+    assert same == full
+    # df<=2 drops the 3-doc-shared shingles from candidate generation,
+    # but pairs found via rarer shingles still report exact values
+    bounded = {(r["a"], r["b"]): r["jaccard"]
+               for r in D.jaccard_pairs(sh, max_shingle_df=2).collect()}
+    for pair, j in bounded.items():
+        assert j == full[pair]
+
+
 def test_jaccard_pairs_exact(docs):
     j = {(r["a"], r["b"]): r["jaccard"] for r in D.jaccard_pairs(
         D.ngram_shingles(docs, "text", "id", n=3)
