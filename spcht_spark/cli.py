@@ -10,6 +10,11 @@ Verbs:
   check-descriptor   validate a descriptor     (--CheckSpcht parity)
   compile-descriptor resolve $refs + print     (--CompileSpcht parity)
   descriptor-fields  input fields a descriptor reads (--CheckFields parity)
+  write-triples      descriptor × table → RDF text sink (S6 parity:
+                     process2RDF nt/ttl/nquads/xml → df.write.text)
+  write-table        descriptor × table → triples table (S7/S8 parity:
+                     the SPARQL-INSERT / isql bulk-load targets become
+                     one distributed table write)
 """
 
 from __future__ import annotations
@@ -71,6 +76,17 @@ def main(argv: list[str] | None = None) -> int:
         sp = sub.add_parser(verb)
         sp.add_argument("descriptor")
 
+    for verb in ("write-triples", "write-table"):
+        sp = sub.add_parser(verb)
+        sp.add_argument("descriptor")
+        sp.add_argument("table", help="input record table (parquet path)")
+        sp.add_argument("out", help="output path")
+        sp.add_argument("--subject-prefix", default="")
+        if verb == "write-triples":
+            sp.add_argument("--format", choices=["nt", "ttl", "turtle", "nquads", "xml"],
+                            default="nt")
+            sp.add_argument("--graph", default=None, help="graph IRI for nquads")
+
     args = p.parse_args(argv)
 
     # descriptor verbs are driver-side only — no SparkSession needed
@@ -98,6 +114,11 @@ def main(argv: list[str] | None = None) -> int:
             print("\n".join(descriptor_fields(desc)))
         return 0
 
+    from pyspark.sql import SparkSession
+
+    # only stop a session this invocation created (in-process callers —
+    # tests, notebooks — keep theirs alive)
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("spcht_spark_cli", cores=args.cores)
 
     if args.verb in ("full-order", "continue-order"):
@@ -110,8 +131,29 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(wo.check_order(order, spark), indent=1))
         except FileNotFoundError as ex:
             print(f"error: {ex}", file=sys.stderr)
-            spark.stop()
+            if owns_session:
+                spark.stop()
             return 2
+    elif args.verb in ("write-triples", "write-table"):
+        from spcht_spark.descriptor.compiler import compile_descriptor, load_descriptor
+        from spcht_spark.descriptor.rdf import write_rdf
+
+        try:
+            desc = load_descriptor(args.descriptor)
+        except (OSError, ValueError) as ex:
+            print(f"error: cannot load descriptor {args.descriptor}: {ex}", file=sys.stderr)
+            if owns_session:
+                spark.stop()
+            return 2
+        records = spark.read.parquet(args.table)
+        triples = compile_descriptor(desc, records, subject_prefix=args.subject_prefix)
+        if args.verb == "write-triples":
+            write_rdf(triples, args.out, fmt=args.format, graph=args.graph)
+        else:
+            from spcht_spark.sources.catalog import write_table
+
+            write_table(triples, args.out)
+        print(f"wrote {args.out}")
     elif args.verb == "query":
         idx = load_index(spark, args.workdir)
         q = [("q", args.terms, args.k)]
@@ -124,7 +166,8 @@ def main(argv: list[str] | None = None) -> int:
             )
         for r in out.orderBy("rank").collect():
             print(f"{r['rank']:>4}  doc {r['doc_id']:>10}  {r['score']:.6f}")
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

@@ -915,23 +915,10 @@ def compile_descriptor(
 
 
 def triples_to_ntriples(triples: DataFrame) -> DataFrame:
-    """S6 turtle-sink analogue (process2RDF, SpchtUtility.py:506-535):
-    N-Triples lines via format_string — a pure-JVM text sink."""
-    obj = F.when(
-        F.col("object_is_uri"), F.format_string("<%s>", F.col("object"))
-    ).otherwise(
-        F.when(
-            F.col("lang").isNotNull(),
-            F.format_string('"%s"@%s', F.col("object"), F.col("lang")),
-        )
-        .when(
-            F.col("datatype").isNotNull(),
-            F.format_string('"%s"^^<%s>', F.col("object"), F.col("datatype")),
-        )
-        .otherwise(F.format_string('"%s"', F.col("object")))
-    )
-    return triples.select(
-        F.format_string(
-            "<%s> <%s> %s .", F.col("subject"), F.col("predicate"), obj
-        ).alias("line")
-    )
+    """S6 sink (process2RDF, SpchtUtility.py:506-535) — canonical
+    implementation (with literal escaping and the ttl/nquads/xml
+    siblings) lives in spcht_spark.descriptor.rdf; re-exported here for
+    back-compat."""
+    from spcht_spark.descriptor.rdf import triples_to_ntriples as _impl
+
+    return _impl(triples)

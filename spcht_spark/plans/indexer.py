@@ -23,7 +23,35 @@ from spcht_spark.index.build import (
 )
 from spcht_spark.plans.workorder import Stage, WorkOrder, create_order, run_order
 
-FINAL_STAGES = {"doclens", "dictionary", "stats", "blocks"}
+FINAL_STAGES = {"doclens", "dictionary", "stats", "blocks", "skew"}
+
+
+def skew_table(blocks: DataFrame) -> DataFrame:
+    """Per-(term, shard) posting-group size histogram (SURVEY §7): the
+    table that PROVES the doc-range sharding bounded the merge shuffle.
+    One row per log2 bucket of group size: (log2_bucket, n_groups,
+    max_postings). The global invariant — max_postings ≤ shard_span for
+    every bucket, hot terms included — is what a plain groupBy(term)
+    cannot give you at web scale."""
+    groups = blocks.groupBy("term", "shard").agg(F.sum("n_docs").alias("postings"))
+    bucket = F.ceil(F.log2(F.col("postings").cast("double"))).cast("int")
+    return groups.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.max("postings").alias("max_postings"),
+    )
+
+
+def skew_report(spark: SparkSession, workdir: str, shard_span: int) -> dict:
+    """Driver-side rollup of the persisted skew stage."""
+    skew = spark.read.parquet(f"{workdir}/skew")
+    rows = sorted(skew.collect(), key=lambda r: r["log2_bucket"])
+    max_group = max((int(r["max_postings"]) for r in rows), default=0)
+    return {
+        "histogram": {int(r["log2_bucket"]): int(r["n_groups"]) for r in rows},
+        "max_group_postings": max_group,
+        "shard_span": shard_span,
+        "bounded": max_group <= shard_span,
+    }
 
 
 def index_order(
@@ -60,6 +88,9 @@ def index_order(
         avgdl = float(outs["stats"].collect()[0]["avgdl"])
         return build_blocks(outs["tokens"], outs["doclens"], avgdl, shard_span=shard_span)
 
+    def skew(spark, outs):
+        return skew_table(outs["blocks"])
+
     stages = [
         Stage("ingest", ingest),
         Stage("tokens", tokens),
@@ -72,6 +103,9 @@ def index_order(
             "blocks", blocks, sort_cols=["term", "shard", "block_seq"],
             repartition=blocks_partitions,
         ),
+        # group-size histogram persisted WITH the build: the skew
+        # evidence ships as part of the index, not a post-hoc query
+        Stage("skew", skew, repartition=1),
     ]
     return create_order(workdir, run_id, stages, clock)
 

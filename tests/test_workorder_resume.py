@@ -100,3 +100,39 @@ def test_check_order_rollup(spark, tmp_path):
     assert rep["stages"]["tokens"]["rows_out"] > 0
     assert rep["stages"]["blocks"]["bytes_out"] > 0
     assert rep["stages"]["blocks"]["seconds"] > 0
+    assert rep["stages"]["skew"]["rows_out"] > 0  # histogram persisted
+
+
+def test_skew_histogram_bounds_hot_terms(spark, tmp_path):
+    """The doc-range sharding invariant (SURVEY §7): no (term, shard)
+    posting group — hot terms like '{' included — exceeds shard_span,
+    and the persisted histogram proves it."""
+    from spcht_spark.plans.indexer import skew_report
+
+    wd = str(tmp_path / "runsk")
+    span = 64
+    order = index_order(wd, "rs", _source, shard_span=span, clock=FakeClock())
+    idx = run_index_order(spark, order)
+    rep = skew_report(spark, wd, span)
+    assert rep["bounded"] is True
+    assert 0 < rep["max_group_postings"] <= span
+    assert sum(rep["histogram"].values()) > 0
+    # cross-check the histogram against the blocks table directly
+    from pyspark.sql import functions as F
+
+    direct_max = (
+        idx.blocks.groupBy("term", "shard")
+        .agg(F.sum("n_docs").alias("p"))
+        .agg(F.max("p"))
+        .collect()[0][0]
+    )
+    assert direct_max == rep["max_group_postings"]
+    # the hot term really is hot (fans out over shards, each bounded)
+    hot = (
+        idx.blocks.groupBy("term")
+        .agg(F.sum("n_docs").alias("total"), F.countDistinct("shard").alias("n_shards"))
+        .orderBy(F.desc("total"))
+        .first()
+    )
+    assert hot["total"] > span  # hotter than one shard could hold
+    assert hot["n_shards"] > 1  # …so it fanned out
