@@ -951,6 +951,43 @@ SELECT doc_id, min(h) AS fingerprint FROM w GROUP BY doc_id
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the driver oracle: documents become
+    opaque binary payloads with typed metadata, run through the
+    Arrow-batched mapInPandas featurizer (functions/multimodal.py). The
+    featurizer itself is the honest container-limitation stub, but the
+    plumbing invariants ARE checked hard: the payload sha256 must
+    survive the binary Arrow round-trip bit-exactly, byte counts must
+    match, and the feature batch shape must hold for every row."""
+    from spcht_spark.functions.multimodal import decode_and_featurize
+
+    docs = _t(spark, sf_dir, "documents")
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int")).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = decode_and_featurize(media, dim=16)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "media_type",
+        "payload_sha256",
+        "n_bytes",
+        F.size("feature").alias("feat_dim"),
+    )
+
+
+Q_MULTIMODAL_SQL = """
+SELECT doc_id,
+       (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS media_type,
+       sha256(text) AS payload_sha256,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       16 AS feat_dim
+FROM documents
+"""
+
+
 # ----------------------------------------------------------- registration
 
 QUERIES = {
@@ -989,6 +1026,7 @@ QUERIES = {
     "simhash": q_simhash,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES = {
@@ -1029,4 +1067,5 @@ ORACLES = {
     "simhash": Q_SIMHASH_SQL,  # md5 bit lanes, value-exact
     "embedding_ann_lsh": Q_COSINE_SQL,  # ANN result vs exact top-k (recall=1)
     "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,  # md5 min-window, value-exact
+    "multimodal_features": Q_MULTIMODAL_SQL,  # binary round-trip invariants
 }

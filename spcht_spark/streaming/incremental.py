@@ -63,6 +63,102 @@ def apply_cdc(
     return kept.unionByName(new)
 
 
+SESSION_OUT_SCHEMA = "user_id BIGINT, session_start BIGINT, session_end BIGINT, n_events BIGINT"
+_SESSION_STATE_SCHEMA = "start BIGINT, last BIGINT, n BIGINT"
+
+
+def stream_sessionize(
+    events,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    timeout: str = "processing",
+):
+    """Custom STATEFUL streaming operator (applyInPandasWithState): gap
+    sessionization over an event stream. Per-key state carries the open
+    session (start, last_ts, n_events); a batch's events merge into it
+    vectorized (one sort + one diff per key-batch, no per-row Python
+    conditionals), closed sessions are emitted as soon as a gap proves
+    them closed, and a ProcessingTimeTimeout flushes a key's open
+    session when the stream goes quiet. This is the streaming twin of
+    the batch q_sessionize_events (same gap rule), covering the
+    SURVEY §2.8 custom-stateful row — the shape Spark's built-in
+    session_window cannot express once per-session logic grows state
+    beyond counts.
+
+    ``timeout="processing"`` (default, long-running streams) flushes
+    idle keys; pass ``timeout="none"`` for bounded availableNow /
+    catch-up runs — with a timeout registered, availableNow keeps
+    scheduling empty micro-batches waiting for timers and never
+    terminates (measured: 60+ empty epochs on a 2-file source)."""
+    import pandas as pd  # local: keep the module import-light for driver-only use
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    use_timeout = timeout == "processing"
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if use_timeout
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
+        (user_id,) = key
+        out: list[tuple] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                out.append((user_id, start, last, n))
+            state.remove()
+        else:
+            parts = [pdf[ts_col] for pdf in pdfs]
+            ts = (
+                pd.concat(parts).astype("int64").sort_values().to_numpy()
+                if parts
+                else np.array([], dtype="int64")
+            )
+            if len(ts):
+                # split the batch into gap-delimited segments
+                breaks = np.flatnonzero(np.diff(ts) > gap_seconds) + 1
+                bounds = [0, *breaks.tolist(), len(ts)]
+                segs = [
+                    (int(ts[s]), int(ts[e - 1]), e - s)
+                    for s, e in zip(bounds[:-1], bounds[1:])
+                    if e > s
+                ]
+                # merge the carried open session with the first segment,
+                # or close it if the batch starts past the gap
+                if state.exists:
+                    cs, cl, cn = state.get
+                    if segs and segs[0][0] - cl <= gap_seconds:
+                        segs[0] = (cs, segs[0][1], cn + segs[0][2])
+                    else:
+                        out.append((user_id, cs, cl, cn))
+                # every segment but the last is proven closed by a gap
+                out.extend((user_id, *sg) for sg in segs[:-1])
+                state.update(tuple(int(x) for x in segs[-1]))
+            if use_timeout:
+                state.setTimeoutDuration(gap_seconds * 1000)
+
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout_conf,
+        )
+    )
+
+
 def stream_events_windowed(
     spark: SparkSession,
     source_dir: str,

@@ -193,6 +193,56 @@ def test_snapshot_diff_and_apply(spark):
 
 # --------------------------------------------------- structured streaming
 
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): gap sessions
+    must merge across micro-batches through the per-key state, and each
+    closed session must match the batch gap rule exactly."""
+    from spcht_spark.streaming.incremental import stream_sessionize
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # session A for user 1 spans the two files → carried-state merge
+    f1 = [{"user_id": 1, "ts": 0}, {"user_id": 1, "ts": 100},
+          {"user_id": 2, "ts": 50}]
+    f2 = [{"user_id": 1, "ts": 200}, {"user_id": 1, "ts": 5000},
+          {"user_id": 1, "ts": 5100}, {"user_id": 1, "ts": 20000},
+          {"user_id": 2, "ts": 10000}]
+    import os
+
+    (src / "a_batch1.json").write_text("\n".join(json.dumps(r) for r in f1))
+    (src / "b_batch2.json").write_text("\n".join(json.dumps(r) for r in f2))
+    # the file source orders batches by MODIFICATION TIME — pin it
+    os.utime(src / "a_batch1.json", (1_000_000, 1_000_000))
+    os.utime(src / "b_batch2.json", (2_000_000, 2_000_000))
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts", T.LongType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force 2 micro-batches
+        .json(str(src))
+    )
+    # timeout="none": with a processing-time timer registered,
+    # availableNow keeps scheduling empty micro-batches and never ends
+    sessions = stream_sessionize(stream, gap_seconds=1800, timeout="none")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sessions").collect()
+    )
+    # closed sessions only (the trailing session per user stays open in
+    # state until the processing-time timeout, which availableNow ends
+    # before); session A merged 0,100 (batch 1) with 200 (batch 2)
+    assert got == [(1, 0, 200, 3), (1, 5000, 5100, 2), (2, 50, 50, 1)]
+
+
 def test_stream_windowed_counts(spark, tmp_path):
     src = tmp_path / "stream_src"
     src.mkdir()
