@@ -7,8 +7,15 @@ parallelism levels on the SAME materialized corpus:
 
     efficiency = (files/s @ 4N cores) / (4 × files/s @ N cores)
 
-Each level runs in its own JVM (subprocess) with shuffle partitions
-scaled to the core count. Usage:
+Each level runs in its own JVM (subprocess), CPU-PINNED with
+``taskset -c 0..N-1`` — ``local[N]`` bounds executor task slots but NOT
+JVM GC threads, parquet writer threads, Python workers, or kernel
+page-zeroing, so an unpinned "2-core" run borrows the whole box and the
+ratio measures nothing (measured: unpinned 8-core SLOWER than unpinned
+2-core on identical code). The JVM heap scales with the core count
+(~2g/core best on this memcg-accounted VM: a fixed big heap makes the
+low-core run pay disproportionate page-zeroing). Shuffle partitions
+scale with cores. Usage:
 
     python bench_scaling.py            # orchestrates both levels
     python bench_scaling.py --worker N # one timed run (internal)
@@ -79,10 +86,12 @@ def run_level(cores: int) -> dict:
     memcg page-fault accounting makes single runs noisy; cold/cold at
     both levels is apples-to-apples and the median tames outliers."""
     results = []
+    env = dict(os.environ, SPCHT_SPARK_DRIVER_MEM=f"{2 * cores}g")
     for _ in range(REPEATS):
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
-            capture_output=True, text=True, check=True,
+            ["taskset", "-c", f"0-{cores - 1}",
+             sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
+            capture_output=True, text=True, check=True, env=env,
         )
         results.append(json.loads(out.stdout.strip().splitlines()[-1]))
     results.sort(key=lambda r: r["seconds"])

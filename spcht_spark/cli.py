@@ -5,6 +5,9 @@ re-expressed for the new engine). Run as
 Verbs:
   full-order         create + run (or resume) an index-build work order
   continue-order     resume an existing order  (--ContinueWorkOrder parity)
+  create-order       lay down the manifest without executing (--CreateOrder)
+  advance-order      execute exactly one pending stage (--HandleWorkOrder)
+  cleanup-order      drop intermediates, keep finals (--CleanUp parity)
   check-order        metrics rollup            (--CheckWorkOrder parity)
   query              top-k BM25 over a committed index (exact or wand)
   check-descriptor   validate a descriptor     (--CheckSpcht parity)
@@ -49,7 +52,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cores", type=int, default=None)
     sub = p.add_subparsers(dest="verb", required=True)
 
-    for verb in ("full-order", "continue-order"):
+    for verb in ("full-order", "continue-order", "create-order", "advance-order"):
         sp = sub.add_parser(verb)
         sp.add_argument("workdir")
         sp.add_argument("--run-id", default="run1")
@@ -64,6 +67,12 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("check-order")
     sp.add_argument("workdir")
     sp.add_argument("--run-id", default="run1")
+
+    sp = sub.add_parser("cleanup-order")
+    sp.add_argument("workdir")
+    sp.add_argument("--run-id", default="run1")
+    sp.add_argument("--keep", nargs="*", default=None,
+                    help="stage outputs to keep (default: the final index tables)")
 
     sp = sub.add_parser("query")
     sp.add_argument("workdir")
@@ -125,6 +134,28 @@ def main(argv: list[str] | None = None) -> int:
         order = _order_for(args)
         run_index_order(spark, order)
         print(json.dumps(wo.check_order(order, spark), indent=1))
+    elif args.verb == "create-order":
+        # CreateOrder parity: lay down the manifest without executing
+        order = _order_for(args)
+        print(json.dumps(wo.read_manifest(order), indent=1))
+    elif args.verb == "advance-order":
+        # HandleWorkOrder parity: execute exactly ONE pending stage
+        order = _order_for(args)
+        wo.run_order(spark, order, max_new_stages=1)
+        print(json.dumps(wo.check_order(order, spark), indent=1))
+    elif args.verb == "cleanup-order":
+        from spcht_spark.plans.indexer import FINAL_STAGES
+
+        order = wo.WorkOrder(args.workdir, args.run_id, [])
+        # stage list comes from the manifest for a read-only view
+        m = wo.read_manifest(order)
+        order = wo.WorkOrder(
+            args.workdir, args.run_id,
+            [wo.Stage(name, lambda s, o: None) for name in m["stages"]],
+        )
+        keep = set(args.keep) if args.keep is not None else set(FINAL_STAGES)
+        wo.cleanup_order(order, keep=keep)
+        print(json.dumps(wo.read_manifest(order)["status"], indent=1))
     elif args.verb == "check-order":
         order = wo.WorkOrder(args.workdir, args.run_id, [])  # read-only view
         try:
@@ -159,6 +190,10 @@ def main(argv: list[str] | None = None) -> int:
         q = [("q", args.terms, args.k)]
         if args.engine == "wand" and args.mode == "or":
             out = wand_topk(spark, idx.blocks, idx.dictionary, idx.stats, q)
+        elif args.engine == "wand" and args.mode == "and":
+            from spcht_spark.index.wand import and_topk
+
+            out = and_topk(spark, idx.blocks, idx.dictionary, idx.stats, q)
         else:
             out = exact_topk(
                 spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, q,

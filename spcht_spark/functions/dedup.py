@@ -390,9 +390,21 @@ def minhash_dedup(
     )
 
     sh = ngram_shingles(reps, text_col, id_col, n).cache()
+    if max_shingle_df is not None:
+        # Drop stopword shingles BEFORE signatures: they carry ~no
+        # Jaccard signal but dominate both the signature aggregation and
+        # any downstream shingle join. Approximation, scale-gated
+        # (default None = exact).
+        sh = sh.join(
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle"),
+            "shingle",
+        ).cache()
     sigs = minhash_signatures(sh, num_hashes, seed)
     cands = lsh_candidate_pairs(sigs, bands, max_bucket=max_bucket)
-    verified = jaccard_pairs(sh, cands, max_shingle_df=max_shingle_df).filter(
+    verified = jaccard_pairs(sh, cands).filter(
         F.col("jaccard") >= jaccard_threshold
     )
     comps = near_dup_components(verified)

@@ -116,11 +116,26 @@ def score_postings(
 
 
 def topk(scores: DataFrame, ks: dict[str, int]) -> DataFrame:
-    """Per-query top-k with deterministic tie-break (score desc, doc asc)."""
+    """Per-query top-k with deterministic tie-break (score desc, doc asc).
+
+    Two-stage: a per-(query, doc-hash-salt) partial top-k runs first so
+    no single reducer ever receives every candidate of one query (the
+    plain per-query window is ≤|queries| tasks — a straggler/OOM shape
+    when the exact path scores a hot term over 10^12 docs). The union of
+    per-salt top-k is a superset of the global top-k, so the final
+    narrow window over ≤ 64·k rows/query is exact."""
     k_map = F.create_map(*[x for q, k in sorted(ks.items()) for x in (F.lit(q), F.lit(k))])
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    order = (F.desc("score"), F.asc("doc_id"))
+    w_salt = Window.partitionBy("query_id", "salt").orderBy(*order)
+    pre = (
+        scores.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+        .withColumn("r1", F.row_number().over(w_salt))
+        .filter(F.col("r1") <= k_map[F.col("query_id")])
+        .drop("salt", "r1")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scores.withColumn("rank", F.row_number().over(w))
+        pre.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k_map[F.col("query_id")])
         .select("query_id", "rank", "doc_id", "score")
     )

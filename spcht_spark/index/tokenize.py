@@ -42,17 +42,18 @@ TOKENS_SCHEMA = T.StructType(
 def tokens_arrow(corpus: DataFrame) -> DataFrame:
     """(doc_id, term, tf) via Arrow-batched UDF — SPIMI map side.
 
-    The whole inversion stays off the Python heap: tokenization is three
-    RE2 passes + a split in pyarrow C++ (normalize → pad punctuation →
-    digit/identifier boundary), counting is a composite-key
-    numpy.unique over dictionary-encoded token codes. Only the per-batch
-    UNIQUE terms ever become strings. (A pandas str.findall version of
-    this UDF spent 6+ kernel-CPUs on page faults — millions of transient
-    PyObjects per batch; this one is ~10× cheaper and allocation-flat.)
+    The whole inversion stays INSIDE Arrow C++ (mimalloc pool):
+    tokenization is three RE2 passes + a split (normalize → pad
+    punctuation → digit/identifier boundary), counting is an Arrow hash
+    group_by on (doc_id, term). No per-row Python, and — critical on
+    memcg-accounted VMs — no multi-hundred-MB numpy temporaries: a
+    previous composite-key numpy.unique version allocated ~600 MB of
+    fresh glibc pages per batch, and at ~1 ms/first-touch-fault that was
+    75 s/batch vs 2.5 s for this version (see BENCH.md). A pandas
+    str.findall version was worse still (per-row PyObjects).
 
     Token definition is TOKEN_REGEX, verified equivalent in tests
     against both the JVM regexp path and the pure-Python oracle."""
-    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -80,24 +81,13 @@ def tokens_arrow(corpus: DataFrame) -> DataFrame:
             flat = pc.list_flatten(lists)
             if len(flat) == 0:
                 continue
-            parents = pc.list_parent_indices(lists).to_numpy()
-            denc = flat.dictionary_encode()
-            codes = denc.indices.to_numpy().astype(np.int64)
-            vocab = denc.dictionary
-            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)[parents]
-            k = np.int64(len(vocab))
-            key = doc_ids * k + codes  # doc_id < 2^62 / |batch vocab|
-            uk, counts = np.unique(key, return_counts=True)
-            term_codes = (uk % k).astype(np.int64)
-            out = pd.DataFrame(
-                {
-                    "doc_id": uk // k,
-                    "term": vocab.take(pa.array(term_codes)).to_pandas(),
-                    "tf": counts.astype(np.int64),
-                }
-            )
+            parents = pc.list_parent_indices(lists)
+            doc_ids = pc.take(pa.array(pdf["doc_id"], type=pa.int64()), parents)
+            tbl = pa.table({"doc_id": doc_ids, "term": flat})
             # split leaves "" tokens at string boundaries — drop them
-            yield out[out["term"] != ""]
+            tbl = tbl.filter(pc.not_equal(tbl["term"], ""))
+            out = tbl.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+            yield out.rename_columns(["doc_id", "term", "tf"]).to_pandas()
 
     return corpus.select("doc_id", "content").mapInPandas(invert, schema=TOKENS_SCHEMA)
 

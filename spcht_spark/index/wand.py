@@ -183,6 +183,106 @@ def _wand_one_group(
     return [(-nd, s) for s, nd in heap]
 
 
+def _and_one_group(
+    pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, n_terms: int
+) -> list[tuple[int, float]]:
+    """Exact conjunctive (MUST) scoring of one (query, shard) group with
+    block skipping: docs are candidates only while present in EVERY
+    term's postings, so the rarest term drives and other terms decode
+    only blocks overlapping the shrinking candidate set. Doc-range
+    sharding keeps a doc's postings for all terms in one shard, so
+    per-shard intersection is globally correct."""
+    cursors = [
+        _TermCursor(term, idfs[term], grp, avgdl)
+        for term, grp in pdf.groupby("term")
+        if term in idfs
+    ]
+    if len(cursors) < n_terms:
+        return []  # a required term has no postings in this shard
+    cursors.sort(key=lambda c: c.term)  # summation order: term asc
+
+    def overlapping(c: _TermCursor, cand: np.ndarray):
+        """Decoded (docs, scores) of blocks overlapping the candidate
+        set; non-overlapping blocks stay undecoded (the skip)."""
+        doc_arrays, score_arrays = [], []
+        for i in range(len(c.firsts)):
+            lo = np.searchsorted(cand, c.firsts[i], side="left")
+            if lo >= len(cand) or cand[lo] > c.lasts[i]:
+                continue
+            docs, scores = c.decode(i)
+            doc_arrays.append(docs)
+            score_arrays.append(scores)
+        if not doc_arrays:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        return np.concatenate(doc_arrays), np.concatenate(score_arrays)
+
+    # Pass 1 — intersect: drive with the fewest-blocks term, shrink the
+    # candidate set through every other term with block skipping.
+    drive = min(range(len(cursors)), key=lambda i: len(cursors[i].firsts))
+    dc = cursors[drive]
+    cand = (
+        np.concatenate([dc.decode(i)[0] for i in range(len(dc.firsts))])
+        if len(dc.firsts)
+        else np.array([], dtype=np.int64)
+    )
+    for ci, c in enumerate(cursors):
+        if ci == drive or not len(cand):
+            continue
+        docs, _ = overlapping(c, cand)
+        cand = cand[np.isin(cand, docs)]
+    if not len(cand):
+        return []
+
+    # Pass 2 — sum contributions in ascending-term order (the oracle's
+    # bit-identity contract); decodes hit the pass-1 cache.
+    total = np.zeros(len(cand), dtype=np.float64)
+    for c in cursors:
+        docs, scores = overlapping(c, cand)
+        mask = np.isin(docs, cand)
+        # docs[mask] is doc-ordered and equals cand element-wise
+        total = total + scores[mask]
+    return list(zip(cand.tolist(), total.tolist()))
+
+
+def and_topk(
+    spark: SparkSession,
+    blocks: DataFrame,
+    dictionary: DataFrame,
+    stats: DataFrame,
+    queries: list[tuple[str, list[str], int]],
+) -> DataFrame:
+    """Conjunctive (Lucene MUST) top-k over the block index: per-shard
+    intersection with block skipping + exact global merge. A query term
+    absent from the whole index empties that query (MUST semantics,
+    mirroring exact_topk mode='and' / oracle mode='and')."""
+    stats_row = stats.collect()[0]
+    avgdl = float(stats_row["avgdl"])
+    all_terms = sorted({t for _, ts, _ in queries for t in ts})
+    idfs = query_idfs(dictionary, stats_row, all_terms)
+    queries = [q for q in queries if all(t in idfs for t in q[1])]
+    if not queries:
+        return spark.createDataFrame([], schema=TOPK_SCHEMA)
+    ks = {qid: k for qid, _, k in queries}
+    n_terms = {qid: len(set(ts)) for qid, ts, _ in queries}
+
+    qrows = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts))]
+    query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
+    hit = blocks.filter(F.col("term").isin(list(idfs.keys()))).join(
+        F.broadcast(query_terms), "term"
+    )
+
+    def run(key: tuple[str, int], pdf: pd.DataFrame) -> pd.DataFrame:
+        query_id = key[0]
+        res = _and_one_group(pdf, idfs, avgdl, n_terms[query_id])
+        return pd.DataFrame(
+            {"query_id": query_id, "doc_id": [d for d, _ in res],
+             "score": [s for _, s in res]}
+        )
+
+    cand = hit.groupBy("query_id", "shard").applyInPandas(run, schema=_CAND_SCHEMA)
+    return topk(cand, ks)
+
+
 def wand_topk(
     spark: SparkSession,
     blocks: DataFrame,

@@ -149,16 +149,26 @@ def run_order(
     spark: SparkSession,
     order: WorkOrder,
     inputs: dict[str, DataFrame] | None = None,
+    max_new_stages: int | None = None,
 ) -> dict[str, DataFrame]:
     """Run/resume every stage in order; returns stage-name → DataFrame
     (reading the committed parquet — downstream stages consume these, so
-    a resumed run never recomputes upstream lineage)."""
+    a resumed run never recomputes upstream lineage).
+
+    ``max_new_stages`` bounds how many INCOMPLETE stages this call
+    executes (HandleWorkOrder parity: the reference advances an order
+    one status step per invocation); the order is only marked ALL_DONE
+    when every stage has completed."""
     outputs: dict[str, DataFrame] = dict(inputs or {})
+    ran = 0
     for stage in order.stages:
         sdir = order.stage_dir(stage.name)
         if _stage_complete(order, stage.name):
             outputs[stage.name] = spark.read.parquet(sdir)
             continue
+        if max_new_stages is not None and ran >= max_new_stages:
+            return outputs
+        ran += 1
         if os.path.exists(sdir):
             shutil.rmtree(sdir)  # W5: torn/partial stage → hard reset
         started = order.clock()

@@ -30,6 +30,25 @@ def get_spark(
     # storm (measured 3× slower tokenize). mimalloc avoids it. Must be
     # set before the JVM (and its python workers) start.
     os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
+    # glibc (numpy/pandas buffers) has the same disease, much worse: any
+    # allocation over M_MMAP_THRESHOLD is mmap'd fresh and munmap'd on
+    # free, so EVERY big numpy temp re-faults its pages — measured
+    # ~1 ms/page here, i.e. 38 s to multiply an 18M-element array.
+    # Raising the mmap/trim thresholds keeps big buffers on the reused
+    # heap: first batch pays the faults once, the rest run at memory
+    # speed (0.06 s for the same multiply). Env vars cover the python
+    # WORKER processes (they read them at startup); mallopt below covers
+    # THIS process, whose glibc already started.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 32))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 32))
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(ctypes.c_int(-3), ctypes.c_int(1 << 30))  # M_MMAP_THRESHOLD
+        libc.mallopt(ctypes.c_int(-1), ctypes.c_int(1 << 30))  # M_TRIM_THRESHOLD
+    except Exception:  # noqa: BLE001 — non-glibc platforms: tunables are moot
+        pass
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
     if shuffle_partitions is None:
@@ -48,7 +67,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPCHT_SPARK_DRIVER_MEM", "64g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 2048, not the 10000 default-ish value used previously: large
+        # Arrow batches make every UDF allocation proportionally large,
+        # and on this memcg-accounted VM big fresh allocations hit a
+        # superlinear page-fault cliff (measured: the SAME tokenize job
+        # over 384k docs ran 260 s at batch 10000 vs 52 s at batch 2048
+        # on 8 pinned cores, and 2→8-core scaling went from negative to
+        # 0.8+). Smaller batches also bound worker memory for wide rows.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

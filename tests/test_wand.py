@@ -48,6 +48,38 @@ def test_wand_matches_oracle(spark, small_index, small_corpus_pd):
             assert s1 == pytest.approx(s2, abs=1e-9), f"{qid} doc {d1}"
 
 
+def test_and_topk_matches_exact_and_oracle(spark, small_index, small_corpus_pd):
+    """Conjunctive block-skipping path: rank- and score-identical to
+    exact_topk(mode='and') and the pure-Python oracle (MUST semantics:
+    a doc needs every term; an index-absent term empties the query)."""
+    from spcht_spark.index.wand import and_topk
+
+    multi = [q for q in REFERENCE_QUERIES if len(q[1]) >= 2]
+    multi.append(("q_absent_and", ["return", "zzz_none"], 5))
+    oracle = Bm25Oracle(small_corpus_pd)
+    got = _as_map(
+        and_topk(
+            spark, small_index.blocks, small_index.dictionary, small_index.stats, multi
+        ).toPandas()
+    )
+    exact = _as_map(
+        exact_topk(
+            spark, small_index.blocks, small_index.doclens, small_index.dictionary,
+            small_index.stats, multi, mode="and",
+        ).toPandas()
+    )
+    assert "q_absent_and" not in got
+    assert set(got.keys()) == set(exact.keys())
+    for qid, terms, k in multi:
+        want = oracle.query(terms, k, mode="and")
+        have = got.get(qid, [])
+        assert [d for d, _ in have] == [d for d, _ in want], f"{qid} ranks vs oracle"
+        for (d1, s1), (_d2, s2) in zip(have, want):
+            assert s1 == pytest.approx(s2, abs=1e-9), f"{qid} doc {d1}"
+        for (d1, s1), (d2, s2) in zip(have, exact.get(qid, [])):
+            assert d1 == d2 and s1 == s2, f"{qid}: and_topk vs exact mode=and"
+
+
 def test_wand_absent_terms(spark, small_index):
     out = wand_topk(
         spark, small_index.blocks, small_index.dictionary, small_index.stats, [("qa", ["zzz_none"], 5)]

@@ -103,6 +103,48 @@ def test_check_order_rollup(spark, tmp_path):
     assert rep["stages"]["skew"]["rows_out"] > 0  # histogram persisted
 
 
+def test_single_step_advance(spark, tmp_path):
+    """HandleWorkOrder parity: max_new_stages=1 executes exactly one
+    pending stage per call and never marks ALL_DONE early."""
+    wd = str(tmp_path / "runstep")
+    order = index_order(wd, "rstep", _source, shard_span=64, clock=FakeClock())
+    wo.run_order(spark, order, max_new_stages=1)
+    m = wo.read_manifest(order)
+    assert m["stages"]["ingest"]["status"] == wo.Status.STAGE_DONE
+    assert m["stages"]["tokens"]["status"] == wo.Status.CREATED
+    assert m["status"] != wo.Status.ALL_DONE
+    wo.run_order(spark, order, max_new_stages=1)
+    m = wo.read_manifest(order)
+    assert m["stages"]["tokens"]["status"] == wo.Status.STAGE_DONE
+    assert m["stages"]["doclens"]["status"] == wo.Status.CREATED
+    # finish the rest; final call flips ALL_DONE
+    wo.run_order(spark, order)
+    assert wo.read_manifest(order)["status"] == wo.Status.ALL_DONE
+
+
+def test_cli_order_verbs(spark, tmp_path):
+    from spcht_spark.cli import main
+
+    wd = str(tmp_path / "runcli")
+    rc = main(["create-order", wd, "--n-docs", "60", "--shard-span", "64"])
+    assert rc == 0
+    order = wo.WorkOrder(wd, "run1", [])
+    assert wo.read_manifest(order)["status"] == wo.Status.CREATED
+    rc = main(["advance-order", wd, "--n-docs", "60", "--shard-span", "64"])
+    assert rc == 0
+    m = wo.read_manifest(order)
+    assert m["stages"]["ingest"]["status"] == wo.Status.STAGE_DONE
+    assert m["stages"]["tokens"]["status"] == wo.Status.CREATED
+    rc = main(["full-order", wd, "--n-docs", "60", "--shard-span", "64"])
+    assert rc == 0
+    assert wo.read_manifest(order)["status"] == wo.Status.ALL_DONE
+    rc = main(["cleanup-order", wd])
+    assert rc == 0
+    assert wo.read_manifest(order)["status"] == wo.Status.CLEANED
+    assert os.path.exists(os.path.join(wd, "blocks"))  # final kept
+    assert not os.path.exists(os.path.join(wd, "ingest"))  # intermediate gone
+
+
 def test_skew_histogram_bounds_hot_terms(spark, tmp_path):
     """The doc-range sharding invariant (SURVEY §7): no (term, shard)
     posting group — hot terms like '{' included — exceeds shard_span,
