@@ -178,13 +178,13 @@ def triples_to_xml(triples: DataFrame) -> tuple[str, DataFrame, str]:
         F.col("object_is_uri"),
         F.format_string(
             '    <%s xmlns="%s" rdf:resource="%s"/>',
-            p_local, p_ns, _xml_escape(F.col("object")),
+            p_local, _xml_escape(p_ns), _xml_escape(F.col("object")),
         ),
     ).otherwise(
         F.format_string(
             "    <%s xmlns=\"%s\"%s>%s</%s>",
             p_local,
-            p_ns,
+            _xml_escape(p_ns),
             F.when(
                 F.col("lang").isNotNull(),
                 F.format_string(' xml:lang="%s"', F.col("lang")),

@@ -376,9 +376,12 @@ def minhash_dedup(
     back through the digest map afterwards. Identical docs have
     identical signatures → identical buckets → Jaccard 1 ≥ any
     threshold, so a cluster of C copies used to reach LSH as a C-sized
-    bucket (C² candidate pairs); now it contributes one rep. Output is
-    bit-identical to the uncollapsed pipeline (component label = min id,
-    and reps are per-digest min ids). At web scale this is the fix for
+    bucket (C² candidate pairs); now it contributes one rep. Component
+    labels match the uncollapsed pipeline (label = min id, reps are
+    per-digest min ids) — with one deliberate improvement: byte-identical
+    docs shorter than n tokens (zero shingles, invisible to MinHash) are
+    still collapsed via the digest map, where the uncollapsed pipeline
+    left them as singletons. At web scale this is the fix for
     boilerplate mega-buckets; ``max_bucket``/``max_shingle_df`` bound
     whatever near-identical (but not byte-identical) mass remains."""
     digest = df.select(

@@ -149,10 +149,19 @@ def exact_topk(
     stats: DataFrame,
     queries: list[tuple[str, list[str], int]],
     mode: str = "or",
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k for a batch of queries. mode='or' (disjunctive)
     or 'and' (conjunctive: doc must match every query term; a term
     absent from the index empties that query, Lucene MUST semantics).
+
+    ``doc_filter`` — Solr fq parity (the reference ANDs field predicates
+    into every query, /root/reference/Spcht/Core/WorkOrder.py:702-707):
+    a one-column (doc_id) DataFrame of admissible docs; candidates are
+    restricted to it by a semi-join AFTER scoring, and — exactly like
+    fq — the filter does NOT change scoring (idf/avgdl stay corpus-wide).
+    The semi-join shuffles only (query_id, doc_id, score) candidate
+    rows, never postings, so it stays narrow at 10^12 docs.
 
     ``term IN (...)`` is applied before decode so parquet row-group
     min/max stats on the sorted term column prune the block scan.
@@ -177,6 +186,8 @@ def exact_topk(
     hit_blocks = blocks.filter(F.col("term").isin(list(idfs.keys())))
     postings = decode_blocks(hit_blocks)
     scores = score_postings(postings, doclens, idfs, avgdl, query_terms)
+    if doc_filter is not None:
+        scores = scores.join(doc_filter.select("doc_id"), "doc_id", "semi")
     if mode == "and":
         n_terms = {qid: len(set(ts)) for qid, ts, _ in queries}
         nt_map = F.create_map(

@@ -90,6 +90,7 @@ def _wand_one_group(
     idfs: dict[str, float],
     avgdl: float,
     theta0: float = -math.inf,
+    allowed: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k of one (query, shard) group with block-max pruning.
 
@@ -97,7 +98,15 @@ def _wand_one_group(
     kth score of an already-scored shard). Rank-safe: it only *skips*
     docs that provably cannot reach the global top-k (k docs with score
     ≥ theta0 already exist elsewhere); the tie guard keeps exact-θ
-    boundary docs, and the global merge re-ranks exactly."""
+    boundary docs, and the global merge re-ranks exactly.
+
+    ``allowed`` — sorted int64 array of admissible doc_ids in this shard
+    (Solr fq parity). Disallowed docs are masked BEFORE heap insertion:
+    θ then lower-bounds the kth *admissible* score, which keeps the
+    block-max prune rank-safe under the filter (an inflated θ from a
+    disallowed doc could otherwise skip admissible ones). Block upper
+    bounds need no change — they stay valid upper bounds for the
+    admissible subset."""
     cursors = [
         _TermCursor(term, idfs[term], grp, avgdl)
         for term, grp in pdf.groupby("term")
@@ -168,6 +177,13 @@ def _wand_one_group(
             # np.add.at accumulates sequentially in appearance order —
             # which is term-ascending by construction.
             np.add.at(sums, inv, allscores)
+            if allowed is not None and len(uniq):
+                # sorted-membership mask (both arrays doc-ordered)
+                pos = np.searchsorted(allowed, uniq)
+                in_range = pos < len(allowed)
+                keep = np.zeros(len(uniq), dtype=bool)
+                keep[in_range] = allowed[pos[in_range]] == uniq[in_range]
+                uniq, sums = uniq[keep], sums[keep]
             for d, s in zip(uniq.tolist(), sums.tolist()):
                 item = (s, -d)
                 if len(heap) < k:
@@ -290,8 +306,21 @@ def wand_topk(
     stats: DataFrame,
     queries: list[tuple[str, list[str], int]],
     theta_cascade: bool = True,
+    doc_filter: DataFrame | None = None,
+    shard_span: int | None = None,
 ) -> DataFrame:
     """Batch top-k via per-(query, shard) WAND + exact global merge.
+
+    ``doc_filter`` (+ required ``shard_span``, the build's doc-range
+    width) runs FILTERED WAND — Solr fq parity, the reference ANDs
+    field predicates into every query (WorkOrder.py:702-707). The
+    admissible doc set is grouped into one sorted array per shard
+    (bounded by shard_span docs ≈ the per-segment filter bitset Lucene
+    caches) and cogrouped with the posting blocks on (query_id, shard),
+    so the WAND loop masks disallowed docs before its heap — pruning
+    stays rank-safe under the filter (see _wand_one_group). Scoring is
+    unchanged (idf/avgdl corpus-wide, exactly like fq). The filtered
+    path runs single-phase (no θ cascade).
 
     With ``theta_cascade`` (the scale refinement): the single hottest
     shard per query (most matching blocks — block counts come from the
@@ -331,6 +360,45 @@ def wand_topk(
             )
 
         return run
+
+    if doc_filter is not None:
+        if shard_span is None:
+            raise ValueError("filtered WAND needs shard_span (the build's doc-range width)")
+        allowed_by_shard = (
+            doc_filter.select(
+                (F.col("doc_id") / F.lit(int(shard_span))).cast("long").alias("shard"),
+                "doc_id",
+            )
+            .groupBy("shard")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("allowed"))
+        )
+        # replicate the per-shard array per query (|queries| is tiny) so
+        # the cogroup key matches the blocks' (query_id, shard) grouping
+        qdf = spark.createDataFrame([(qid,) for qid in sorted(ks)], ["query_id"])
+        ga = allowed_by_shard.crossJoin(F.broadcast(qdf)).groupBy("query_id", "shard")
+
+        def run_filtered(key, blocks_pdf: pd.DataFrame, allowed_pdf: pd.DataFrame) -> pd.DataFrame:
+            query_id = key[0]
+            empty = pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="object"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+            if len(blocks_pdf) == 0 or len(allowed_pdf) == 0:
+                return empty  # no postings here, or nothing admissible
+            allowed = np.asarray(allowed_pdf["allowed"].iat[0], dtype=np.int64)
+            res = _wand_one_group(blocks_pdf, ks[query_id], idfs, avgdl, allowed=allowed)
+            return pd.DataFrame(
+                {"query_id": query_id, "doc_id": [d for d, _ in res],
+                 "score": [s for _, s in res]}
+            )
+
+        cand = hit.groupBy("query_id", "shard").cogroup(ga).applyInPandas(
+            run_filtered, schema=_CAND_SCHEMA
+        )
+        return topk(cand, ks)
 
     hit = hit.localCheckpoint(eager=False)  # reused by count + both phases
     if theta_cascade:

@@ -21,24 +21,32 @@ swapping providers is this module only.
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 from pyspark.sql import DataFrame, SparkSession
 
+# Memo keyed per JVM (SparkContext id): a process may run several
+# sessions with different classpaths, and a call before any session
+# exists must not pin the answer forever (the round-2 lru_cache bug).
+_ICEBERG_MEMO: dict[int, bool] = {}
 
-@lru_cache(maxsize=1)
+
 def iceberg_available() -> bool:
     """True when the Iceberg Spark runtime is on the JVM classpath."""
     spark = SparkSession.getActiveSession()
     if spark is None:
         return False
+    key = id(spark.sparkContext)
+    hit = _ICEBERG_MEMO.get(key)
+    if hit is not None:
+        return hit
     try:
         spark._jvm.java.lang.Class.forName(  # noqa: SLF001
             "org.apache.iceberg.spark.SparkCatalog"
         )
-        return True
+        found = True
     except Exception:  # noqa: BLE001 — Py4J wraps ClassNotFound opaquely
-        return False
+        found = False
+    _ICEBERG_MEMO[key] = found
+    return found
 
 
 def table_format(fmt: str | None = None) -> str:

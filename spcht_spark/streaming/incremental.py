@@ -119,6 +119,14 @@ def stream_sessionize(
                 if parts
                 else np.array([], dtype="int64")
             )
+            if len(ts) and state.exists:
+                # Late-data policy (a watermark in state form): events
+                # older than the carried session's last ts are dropped,
+                # exactly as a withWatermark would have dropped them —
+                # otherwise a late event could regress session_end or
+                # re-open an already-emitted closed session, diverging
+                # from the batch twin (which sees all events in order).
+                ts = ts[ts >= state.get[1]]
             if len(ts):
                 # split the batch into gap-delimited segments
                 breaks = np.flatnonzero(np.diff(ts) > gap_seconds) + 1

@@ -85,3 +85,61 @@ def test_wand_absent_terms(spark, small_index):
         spark, small_index.blocks, small_index.dictionary, small_index.stats, [("qa", ["zzz_none"], 5)]
     )
     assert out.count() == 0
+
+
+def test_filtered_wand_matches_filtered_exact(spark, small_index):
+    """Filtered retrieval (Solr fq parity): WAND with a doc_filter must
+    be rank- and score-identical to exact_topk with the same filter —
+    proving the in-loop mask keeps block-max pruning rank-safe when θ
+    may only reflect admissible docs. Filter: doc_id % 3 == 0 (dense)
+    and doc_id in a tiny explicit set (sparse shards / empty shards)."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(400).select(F.col("id").alias("doc_id"))
+    for flt in [
+        ids.filter(F.col("doc_id") % 3 == 0),
+        ids.filter(F.col("doc_id").isin(5, 6, 7, 137, 290)),
+    ]:
+        exact = _as_map(
+            exact_topk(
+                spark, small_index.blocks, small_index.doclens,
+                small_index.dictionary, small_index.stats,
+                REFERENCE_QUERIES, doc_filter=flt,
+            ).toPandas()
+        )
+        wand = _as_map(
+            wand_topk(
+                spark, small_index.blocks, small_index.dictionary,
+                small_index.stats, REFERENCE_QUERIES,
+                doc_filter=flt, shard_span=64,
+            ).toPandas()
+        )
+        assert set(exact.keys()) == set(wand.keys())
+        for qid in exact:
+            assert [d for d, _ in exact[qid]] == [d for d, _ in wand[qid]], f"{qid} ranks"
+            for (d, s1), (_, s2) in zip(exact[qid], wand[qid]):
+                assert s1 == s2, f"{qid} doc {d}: filtered scores must be bit-identical"
+
+
+def test_filtered_wand_only_admissible_docs(spark, small_index):
+    """Every returned doc satisfies the filter; scoring stays corpus-wide
+    (fq semantics): a doc's score under the filter equals its unfiltered
+    score."""
+    from pyspark.sql import functions as F
+
+    flt = spark.range(400).select(F.col("id").alias("doc_id")).filter(
+        F.col("doc_id") % 3 == 0
+    )
+    out = wand_topk(
+        spark, small_index.blocks, small_index.dictionary, small_index.stats,
+        REFERENCE_QUERIES, doc_filter=flt, shard_span=64,
+    ).toPandas()
+    assert len(out) and (out["doc_id"] % 3 == 0).all()
+    unfiltered = wand_topk(
+        spark, small_index.blocks, small_index.dictionary, small_index.stats,
+        [("q14_hot4", ["{", "return", "if", "="], 10)],
+    ).toPandas()
+    merged = out[out.query_id == "q14_hot4"].merge(
+        unfiltered, on="doc_id", suffixes=("_f", "_u")
+    )
+    assert len(merged) and (merged["score_f"] == merged["score_u"]).all()
