@@ -265,6 +265,46 @@ def q_index_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_rounded(out)
 
 
+def q_index_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance under the driver oracle (round-2
+    VERDICT missing #3; reference update flow WorkOrder.py:702-707,
+    875-942): build a BASE index that differs from `documents` three
+    ways — a 20% slice absent (to insert), a 5% slice truncated (to
+    modify), 8 doomed docs present (to delete) — then merge the delta
+    with update_index (touched-group rebuild + dictionary df/cf delta +
+    avgdl-refresh of untouched block maxima). The updated index must
+    answer BM25 top-k exactly as an index built from `documents`
+    directly — i.e. the unchanged _bm25_sql oracle."""
+    from spcht_spark.index.build import build_index
+    from spcht_spark.index.query import exact_topk
+    from spcht_spark.index.update import update_index
+
+    corpus = _index_corpus(spark, sf_dir)
+    doomed = spark.createDataFrame(
+        [(10_000_000 + i, f"doomed doc {i} spark join window dup hash") for i in range(8)],
+        ["doc_id", "content"],
+    )
+    truncated = corpus.filter(F.col("doc_id") % 20 == 3).withColumn(
+        "content", F.substring("content", 1, 40)
+    )
+    base = (
+        corpus.filter((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 20 != 3))
+        .unionByName(truncated)
+        .unionByName(doomed)
+    )
+    changed = corpus.filter(
+        (F.col("doc_id") % 5 == 0) | (F.col("doc_id") % 20 == 3)
+    )
+    base_idx = build_index(spark, base, tokenizer="ws", shard_span=_INDEX_SHARD_SPAN)
+    idx = update_index(
+        spark, base_idx, changed, doomed.select("doc_id"),
+        tokenizer="ws", shard_span=_INDEX_SHARD_SPAN,
+    )
+    qs = [(qid, ts, DOC_K + 5) for qid, ts in DOC_QUERIES]
+    out = exact_topk(spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, qs)
+    return _rerank_rounded(out)
+
+
 def _filtered_bm25_sql() -> str:
     """Same BM25 oracle, candidates restricted by the fq AFTER scoring
     stats are fixed (idf/avgdl over the full corpus — fq semantics)."""
@@ -1110,6 +1150,7 @@ QUERIES = {
     "index_bm25_topk": q_index_bm25_topk,
     "index_wand_topk": q_index_wand_topk,
     "index_filtered_topk": q_index_filtered_topk,
+    "index_incremental_topk": q_index_incremental_topk,
     "term_stats": q_term_stats,
     "doclen_hist": q_doclen_hist,
     "regex_match_filter": q_regex_match_filter,
@@ -1150,6 +1191,7 @@ ORACLES = {
     "index_bm25_topk": _bm25_sql(),
     "index_wand_topk": _bm25_sql(),
     "index_filtered_topk": _filtered_bm25_sql(),
+    "index_incremental_topk": _bm25_sql(),
     "term_stats": Q_TERM_STATS_SQL,
     "doclen_hist": Q_DOCLEN_HIST_SQL,
     "regex_match_filter": Q_REGEX_MATCH_SQL,

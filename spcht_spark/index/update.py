@@ -1,0 +1,250 @@
+"""Incremental index maintenance: merge a document delta into a built
+index without re-tokenizing the corpus.
+
+Reference parity: the flagship ``update`` work order is delta-fetch →
+delete-matching-subjects → re-insert
+(/root/reference/Spcht/Core/WorkOrder.py:702-707, 875-942) — the
+reference delegates the index side of that to Solr's own incremental
+commit; here the engine IS the index, so the merge is explicit.
+
+Scale design (the 100 TB case — a full rebuild per delta is not viable):
+
+* Only (term, shard) posting groups touched by the delta are rebuilt.
+  With doc-range sharding a changed doc lives in exactly one shard, so
+  the touched set is ``distinct(term, shard)`` over the doc's old + new
+  tokens — for a 10k-doc delta that is ≈ 10k × avg-unique-terms groups
+  out of billions, and rebuilding a group costs one bounded
+  applyInPandas task (group ≤ shard_span docs).
+* Untouched groups keep their compressed postings byte-for-byte; only
+  the ``max_part`` block-max column is refreshed, because BM25's
+  length normalization depends on the corpus-wide avgdl, which the
+  delta shifts. The refresh is a map-only pass (decode tf/dl varbyte,
+  recompute the max — no shuffle, no docs_bin work) and is skipped
+  entirely when avgdl is unchanged.
+* The dictionary merges df/cf deltas (exact integer arithmetic) instead
+  of re-aggregating the full token table; stats re-aggregate doclens
+  (one narrow map-side-partial agg).
+
+Equivalence contract (pinned in tests/test_index_update.py): for any
+delta, ``update_index(build_index(base), delta)`` equals
+``build_index(final)`` bit-for-bit on every table — including the
+varbyte binaries and the float64 max_part values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spcht_spark.index.build import (
+    BLOCKS_SCHEMA,
+    DEFAULT_SHARD_SPAN,
+    IndexTables,
+    build_blocks,
+    build_doclens,
+    build_stats,
+    build_tokens,
+)
+from spcht_spark.index.compress import BLOCK_SIZE, varbyte_decode
+from spcht_spark.oracle import B, K1
+
+
+def _shard(col, shard_span: int):
+    return (col / F.lit(int(shard_span))).cast("long")
+
+
+def refresh_max_part(blocks: DataFrame, avgdl: float) -> DataFrame:
+    """Recompute the block-max upper bound for a new corpus avgdl.
+
+    Map-only (no shuffle): per block, decode the tf/dl varbyte lanes and
+    take max(tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))). Bit-identical to the
+    value build_blocks would compute — same int64 decode, same float64
+    expression — so a refreshed untouched block equals its full-rebuild
+    twin exactly."""
+    k1, b = K1, B
+
+    def refresh(batches):
+        for pdf in batches:
+            mp = np.empty(len(pdf), dtype=np.float64)
+            for i, (tbin, dbin) in enumerate(zip(pdf["tfs_bin"], pdf["dls_bin"])):
+                tfs = varbyte_decode(tbin).astype(np.int64)
+                dls = varbyte_decode(dbin).astype(np.int64)
+                parts = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * (dls / avgdl)))
+                mp[i] = parts.max()
+            pdf = pdf.copy()
+            pdf["max_part"] = mp
+            yield pdf
+
+    return blocks.mapInPandas(refresh, schema=BLOCKS_SCHEMA)
+
+
+def dictionary_delta(
+    old_dictionary: DataFrame, removed_tokens: DataFrame, added_tokens: DataFrame
+) -> DataFrame:
+    """Merge per-term df/cf deltas into the dictionary (exact ints).
+
+    Terms whose df drops to 0 vanish (as in a rebuild); brand-new terms
+    appear. One narrow shuffle over the DELTA terms, never the corpus."""
+    rm = removed_tokens.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_rm"), F.sum("tf").alias("cf_rm")
+    )
+    ad = added_tokens.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_ad"), F.sum("tf").alias("cf_ad")
+    )
+    delta = rm.join(ad, "term", "full").select(
+        "term",
+        (F.coalesce("df_ad", F.lit(0)) - F.coalesce("df_rm", F.lit(0))).alias("d_df"),
+        (F.coalesce("cf_ad", F.lit(0)) - F.coalesce("cf_rm", F.lit(0))).alias("d_cf"),
+    )
+    merged = (
+        old_dictionary.select("term", "df", "cf")
+        .join(delta, "term", "full")
+        .select(
+            "term",
+            (F.coalesce("df", F.lit(0)) + F.coalesce("d_df", F.lit(0))).alias("df"),
+            (F.coalesce("cf", F.lit(0)) + F.coalesce("d_cf", F.lit(0))).alias("cf"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    return merged.withColumn("term_hash", F.xxhash64("term"))
+
+
+def update_index(
+    spark: SparkSession,
+    idx: IndexTables,
+    changed: DataFrame,
+    deleted: DataFrame | None = None,
+    tokenizer: str = "arrow",
+    shard_span: int = DEFAULT_SHARD_SPAN,
+    block_size: int = BLOCK_SIZE,
+) -> IndexTables:
+    """Merge a delta into ``idx``: ``changed`` (doc_id, content) upserts
+    docs (new or re-written ids), ``deleted`` (doc_id) removes them.
+    Returns new IndexTables; persistence is :func:`apply_update`.
+
+    Reference semantics: delete-then-reinsert per incoming doc
+    (WorkOrder.py:875-942) — a changed doc's old postings are purged
+    before its new ones land, so re-sending an identical doc is
+    idempotent."""
+    changed = changed.select("doc_id", "content")
+    touched_ids = changed.select("doc_id")
+    if deleted is not None:
+        touched_ids = touched_ids.unionByName(deleted.select("doc_id")).distinct()
+    else:
+        touched_ids = touched_ids.distinct()
+    touched_ids = touched_ids.localCheckpoint()
+
+    # Old postings of every touched doc — these leave the index (and
+    # their (term, shard) groups must be rebuilt).
+    removed_tokens = idx.tokens.join(touched_ids, "doc_id", "semi").localCheckpoint()
+    added_tokens = build_tokens(changed, tokenizer).localCheckpoint()
+
+    new_tokens = (
+        idx.tokens.join(touched_ids, "doc_id", "anti").unionByName(added_tokens)
+    )
+    new_doclens = (
+        idx.doclens.join(touched_ids, "doc_id", "anti")
+        .unionByName(build_doclens(added_tokens))
+    )
+    new_dictionary = dictionary_delta(idx.dictionary, removed_tokens, added_tokens)
+    new_stats = build_stats(new_doclens)
+    srow = new_stats.collect()[0]
+    new_avgdl = float(srow["avgdl"])
+    old_avgdl = float(idx.stats.collect()[0]["avgdl"])
+
+    touched_keys = (
+        removed_tokens.select("term", _shard(F.col("doc_id"), shard_span).alias("shard"))
+        .unionByName(
+            added_tokens.select("term", _shard(F.col("doc_id"), shard_span).alias("shard"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    # Rebuild ONLY the touched groups, from the full updated postings of
+    # those groups (untouched docs' postings for a touched term+shard
+    # included — they re-block with the new docs interleaved).
+    touched_tokens = new_tokens.withColumn(
+        "shard", _shard(F.col("doc_id"), shard_span)
+    ).join(touched_keys, ["term", "shard"], "semi").drop("shard")
+    rebuilt = build_blocks(
+        touched_tokens, new_doclens, new_avgdl,
+        shard_span=shard_span, block_size=block_size,
+    )
+    untouched = idx.blocks.join(touched_keys, ["term", "shard"], "anti")
+    if new_avgdl != old_avgdl:
+        untouched = refresh_max_part(untouched, new_avgdl)
+    new_blocks = untouched.unionByName(rebuilt)
+
+    return IndexTables(
+        tokens=new_tokens,
+        doclens=new_doclens,
+        dictionary=new_dictionary,
+        stats=new_stats,
+        blocks=new_blocks,
+    )
+
+
+def apply_update(
+    spark: SparkSession,
+    workdir: str,
+    changed: DataFrame,
+    deleted: DataFrame | None = None,
+    tokenizer: str = "arrow",
+    shard_span: int = DEFAULT_SHARD_SPAN,
+    run_id: str = "update",
+) -> IndexTables:
+    """Update a COMMITTED index in place (atomic per stage).
+
+    Every updated stage is written to ``<stage>.new`` first — while the
+    old files still back the lazy update plan — then the directories are
+    swapped only after all writes succeed, and the swap is recorded in
+    the work-order manifest (lineage: the updates list carries run_id
+    and delta sizes). A crash mid-write leaves the committed index
+    intact; a crash mid-swap is repaired by re-running the same update
+    (idempotent: delete-then-reinsert)."""
+    import json
+    import os
+    import shutil
+    import time
+
+    from spcht_spark.plans.indexer import load_index, skew_table
+
+    idx = load_index(spark, workdir)
+    new = update_index(
+        spark, idx, changed, deleted, tokenizer=tokenizer, shard_span=shard_span
+    )
+    n_changed = changed.count()
+    n_deleted = deleted.count() if deleted is not None else 0
+
+    stages = {
+        "tokens": new.tokens,
+        "doclens": new.doclens,
+        "dictionary": new.dictionary.sortWithinPartitions("term"),
+        "stats": new.stats,
+        "blocks": new.blocks.sortWithinPartitions("term", "shard", "block_seq"),
+    }
+    stages["skew"] = skew_table(new.blocks).repartition(1)
+    for name, df in stages.items():
+        df.write.mode("overwrite").parquet(os.path.join(workdir, f"{name}.new"))
+    for name in stages:
+        old_dir = os.path.join(workdir, name)
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
+        os.replace(os.path.join(workdir, f"{name}.new"), old_dir)
+
+    manifest_path = os.path.join(workdir, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            m = json.load(fh)
+        m.setdefault("updates", []).append(
+            {"run_id": run_id, "changed": int(n_changed), "deleted": int(n_deleted),
+             "at": time.time()}
+        )
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh, indent=1, sort_keys=True)
+        os.replace(tmp, manifest_path)
+    return load_index(spark, workdir)
