@@ -990,6 +990,22 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE configuration of minhash_dedup (preset="web":
+    max_bucket=64, max_shingle_df=256 — chain-linked mega-buckets, hot
+    shingles out of candidate gen, Jaccard recounted exactly) against
+    the SAME exact-Jaccard connected-components oracle: bounded must
+    equal exact on oracle data, proving the bounds are pure scale
+    protection, not a semantics change (round-2 VERDICT next-round #4)."""
+    from spcht_spark.functions.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(
+        docs, "text", "doc_id", n=4, num_hashes=128, bands=64,
+        jaccard_threshold=0.5, preset="web",
+    ).select(F.col("id").alias("doc_id"), "component", "keep")
+
+
 Q_MINHASH_DEDUP_SQL = """
 WITH RECURSIVE
 t AS (
@@ -1180,6 +1196,7 @@ QUERIES = {
     "language_id": q_language_id,
     "token_stats": q_token_stats,
     "minhash_dedup": q_minhash_dedup,
+    "minhash_dedup_bounded": q_minhash_dedup_bounded,
     "simhash": q_simhash,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1223,6 +1240,7 @@ ORACLES = {
     # The four formerly-rows-only ops, now oracled by decision or by
     # SQL-reproducible (md5) hashing:
     "minhash_dedup": Q_MINHASH_DEDUP_SQL,  # clusters vs exact-Jaccard CC
+    "minhash_dedup_bounded": Q_MINHASH_DEDUP_SQL,  # bounded == exact on oracle data
     "simhash": Q_SIMHASH_SQL,  # md5 bit lanes, value-exact
     "embedding_ann_lsh": Q_COSINE_SQL,  # ANN result vs exact top-k (recall=1)
     "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,  # md5 min-window, value-exact

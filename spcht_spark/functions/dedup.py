@@ -366,6 +366,7 @@ def minhash_dedup(
     seed: int = 7,
     max_bucket: int | None = None,
     max_shingle_df: int | None = None,
+    preset: str | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: exact-dup pre-collapse → shingle →
     minhash → LSH bucket join → exact-Jaccard verify → connected
@@ -383,7 +384,21 @@ def minhash_dedup(
     still collapsed via the digest map, where the uncollapsed pipeline
     left them as singletons. At web scale this is the fix for
     boilerplate mega-buckets; ``max_bucket``/``max_shingle_df`` bound
-    whatever near-identical (but not byte-identical) mass remains."""
+    whatever near-identical (but not byte-identical) mass remains.
+
+    ``preset="web"`` turns both bounds on (max_bucket=64,
+    max_shingle_df=256) — the configuration to run on open-web-scale
+    corpora, where the exact defaults' quadratic corners (mega-buckets
+    of boilerplate, stopword shingles) are guaranteed to occur.
+    Candidate generation then skips hot shingles and chain-links huge
+    buckets, but the reported Jaccard of every surviving pair stays
+    EXACT: verification always recounts over the unfiltered shingle
+    set. Only pairs whose every shared shingle is hot can be missed."""
+    if preset == "web":
+        max_bucket = 64 if max_bucket is None else max_bucket
+        max_shingle_df = 256 if max_shingle_df is None else max_shingle_df
+    elif preset is not None:
+        raise ValueError(f"unknown preset {preset!r} (expected 'web')")
     digest = df.select(
         F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("digest")
     )
@@ -393,19 +408,21 @@ def minhash_dedup(
     )
 
     sh = ngram_shingles(reps, text_col, id_col, n).cache()
+    sh_sig = sh
     if max_shingle_df is not None:
         # Drop stopword shingles BEFORE signatures: they carry ~no
         # Jaccard signal but dominate both the signature aggregation and
-        # any downstream shingle join. Approximation, scale-gated
-        # (default None = exact).
-        sh = sh.join(
+        # any downstream shingle join. Candidate-generation-only: the
+        # verify step below recounts over the UNFILTERED shingles, so
+        # surviving pairs keep their exact Jaccard.
+        sh_sig = sh.join(
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= max_shingle_df)
             .select("shingle"),
             "shingle",
         ).cache()
-    sigs = minhash_signatures(sh, num_hashes, seed)
+    sigs = minhash_signatures(sh_sig, num_hashes, seed)
     cands = lsh_candidate_pairs(sigs, bands, max_bucket=max_bucket)
     verified = jaccard_pairs(sh, cands).filter(
         F.col("jaccard") >= jaccard_threshold

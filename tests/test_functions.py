@@ -230,3 +230,43 @@ def test_multimodal_plumbing(spark):
         "chk", F.sha2(F.col("payload"), 256) == F.col("payload_sha256")
     )
     assert joined.filter(~F.col("chk")).count() == 0
+
+
+def test_lsh_candidate_side_carries_no_vector(spark, emb):
+    """Scale contract: the ×n_tables exploded bucket-join input must not
+    carry the embedding (round-2 VERDICT #2) — candidates rejoin the
+    vector table for rescoring instead. Checked on the physical plan:
+    every Generate (explode) output is vector-free."""
+    q = _queries(emb)
+    plan = S.lsh_topk(emb, q, k=5, n_planes=6, n_tables=10, dim=64)._jdf.queryExecution().executedPlan().toString()
+    import re
+    gens = re.findall(r"Generate explode.*", plan)
+    assert gens, "expected explode nodes in the plan"
+    for g in gens:
+        # the node's trailing [..] group is its OUTPUT column list; the
+        # explode EXPRESSION legitimately reads the embedding (codes are
+        # computed from it before the row is emitted vector-free)
+        out_cols = re.findall(r"\[([^\[\]]*)\]", g)[-1]
+        assert "embedding" not in out_cols, g[:200] + " ... " + out_cols
+
+
+def test_minhash_bounded_equals_exact(spark, docs):
+    """preset='web' (chain-linked buckets + hot-shingle exclusion) must
+    produce the same clustering as the exact configuration on data
+    without pathological mass (the bounds are protection, not a
+    semantics change)."""
+    exact = {
+        (r["id"], r["component"], r["keep"])
+        for r in D.minhash_dedup(
+            docs, "text", "id", n=3, num_hashes=128, bands=64,
+            jaccard_threshold=0.8,
+        ).collect()
+    }
+    bounded = {
+        (r["id"], r["component"], r["keep"])
+        for r in D.minhash_dedup(
+            docs, "text", "id", n=3, num_hashes=128, bands=64,
+            jaccard_threshold=0.8, preset="web",
+        ).collect()
+    }
+    assert exact == bounded
