@@ -147,7 +147,7 @@ def _index_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Driver index layout: bump to invalidate cached on-disk builds.
-_INDEX_LAYOUT_VERSION = 3
+_INDEX_LAYOUT_VERSION = 4  # v4: tokens carry dl
 _INDEX_SHARD_SPAN = 1024
 _INDEX_CACHE_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".index_cache"

@@ -4,8 +4,9 @@ handled explicitly").
 
 Stages (each a checkpointable parquet table, see spcht_spark.plans):
 
-  tokens      (doc_id, term, tf)       — Arrow-UDF SPIMI map side
-  doclens     (doc_id, dl)             — groupBy(doc).sum(tf)  [shuffle on doc]
+  tokens      (doc_id, term, tf, dl)   — Arrow-UDF SPIMI map side (dl
+                                         computed in the same batch)
+  doclens     (doc_id, dl)             — dedup of the carried dl
   dictionary  (term, term_hash, df, cf)— groupBy(term)         [shuffle on term]
   stats       (n_docs, avgdl, total_tokens) — global agg
   blocks      (term, term_hash, shard, block_seq, first_doc, last_doc,
@@ -91,7 +92,9 @@ def build_tokens(corpus: DataFrame, tokenizer: str = "arrow") -> DataFrame:
 
 
 def build_doclens(tokens: DataFrame) -> DataFrame:
-    return tokens.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # tokens already carry dl (computed in the tokenize pass); dedup to
+    # one row per doc. max == the single distinct value, deterministic.
+    return tokens.groupBy("doc_id").agg(F.max("dl").alias("dl"))
 
 
 def build_dictionary(tokens: DataFrame) -> DataFrame:
@@ -111,16 +114,16 @@ def build_stats(doclens: DataFrame) -> DataFrame:
 
 def build_blocks(
     tokens: DataFrame,
-    doclens: DataFrame,
     avgdl: float,
     shard_span: int = DEFAULT_SHARD_SPAN,
     block_size: int = BLOCK_SIZE,
 ) -> DataFrame:
     """Compressed posting blocks keyed by (term, doc-range shard).
 
-    One wide shuffle on (term, shard); the doclens equi-join on doc_id
-    feeds it (AQE picks broadcast for small corpora)."""
-    with_dl = tokens.join(doclens, "doc_id").withColumn(
+    ONE wide shuffle on (term, shard) and nothing else: tokens carry dl
+    from the tokenize pass, so the former doclens equi-join (the build's
+    second-largest exchange at scale) no longer exists."""
+    with_dl = tokens.withColumn(
         "shard", (F.col("doc_id") / F.lit(shard_span)).cast("long")
     )
 
@@ -184,5 +187,5 @@ def build_index(
     dictionary = build_dictionary(tokens)
     stats = build_stats(doclens)
     srow = stats.collect()[0]
-    blocks = build_blocks(tokens, doclens, float(srow["avgdl"]), shard_span=shard_span)
+    blocks = build_blocks(tokens, float(srow["avgdl"]), shard_span=shard_span)
     return IndexTables(tokens, doclens, dictionary, stats, blocks)

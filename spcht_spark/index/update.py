@@ -170,8 +170,7 @@ def update_index(
         "shard", _shard(F.col("doc_id"), shard_span)
     ).join(touched_keys, ["term", "shard"], "semi").drop("shard")
     rebuilt = build_blocks(
-        touched_tokens, new_doclens, new_avgdl,
-        shard_span=shard_span, block_size=block_size,
+        touched_tokens, new_avgdl, shard_span=shard_span, block_size=block_size,
     )
     untouched = idx.blocks.join(touched_keys, ["term", "shard"], "anti")
     if new_avgdl != old_avgdl:

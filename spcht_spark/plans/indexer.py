@@ -86,7 +86,7 @@ def index_order(
 
     def blocks(spark, outs):
         avgdl = float(outs["stats"].collect()[0]["avgdl"])
-        return build_blocks(outs["tokens"], outs["doclens"], avgdl, shard_span=shard_span)
+        return build_blocks(outs["tokens"], avgdl, shard_span=shard_span)
 
     def skew(spark, outs):
         return skew_table(outs["blocks"])
