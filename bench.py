@@ -7,6 +7,15 @@ JSON line: {"metric", "value" (total sec), "unit", "queries", "sf", ...}.
 
 Extra keys: ``files_per_sec`` (index-build throughput, the BASELINE.md
 headline) and ``corpus_docs``.
+
+Methodology (round-2 VERDICT next-round #6 — this VM's memcg page-fault
+storms give identical code a multi-x run-to-run spread, which burned a
+round adjudicating a phantom regression): every timing is the MEDIAN of
+``SPCHT_BENCH_RUNS`` (default 3) interleaved rounds — q1..qn, q1..qn,
+… so a storm hits one whole round, not one query — and the JSON carries
+{median, min, max, n} per query in ``queries_spread``. ``queries``
+stays name→seconds (the median) for the driver contract; ``value`` is
+the sum of medians.
 """
 
 from __future__ import annotations
@@ -59,12 +68,8 @@ def main() -> None:
         REFERENCE_QUERIES[:2],
     ).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = demo_queries.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    n_runs = int(os.environ.get("SPCHT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
 
     # Index build + reference-query scoring over the synthesized corpus.
     t0 = time.perf_counter()
@@ -72,13 +77,19 @@ def main() -> None:
     corpus.count()
     t_gen = time.perf_counter() - t0
 
-    # Best of 2 builds: this VM's memcg page-fault storms give identical
-    # code a 6-56 s spread run-to-run (BENCH.md); the min is the
-    # engine's actual steady-state cost. Both runs materialize every
-    # index table (≙ writing the persisted index).
-    t_build = float("inf")
+    samples["index_build"] = []
+    samples["bm25_refqueries"] = []
+    samples["wand_refqueries"] = []
     idx = None
-    for _ in range(2):
+    for _ in range(n_runs):
+        # headline queries, one full round (interleaved across rounds)
+        for name in HEADLINE:
+            fn = demo_queries.QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples[name].append(time.perf_counter() - t0)
+
+        # full index build, every table materialized (≙ committed index)
         if idx is not None:
             for t in (idx.blocks, idx.doclens, idx.dictionary, idx.stats):
                 t.unpersist()
@@ -89,18 +100,34 @@ def main() -> None:
         idx.dictionary = idx.dictionary.cache()
         idx.stats = idx.stats.cache()
         idx.blocks.count(), idx.doclens.count(), idx.dictionary.count(), idx.stats.count()
-        t_build = min(t_build, time.perf_counter() - t0)
-    timings["index_build"] = round(t_build, 3)
+        samples["index_build"].append(time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    exact_topk(
-        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, REFERENCE_QUERIES
-    ).collect()
-    timings["bm25_refqueries"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        exact_topk(
+            spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, REFERENCE_QUERIES
+        ).collect()
+        samples["bm25_refqueries"].append(time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    wand_topk(spark, idx.blocks, idx.dictionary, idx.stats, REFERENCE_QUERIES).collect()
-    timings["wand_refqueries"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        wand_topk(spark, idx.blocks, idx.dictionary, idx.stats, REFERENCE_QUERIES).collect()
+        samples["wand_refqueries"].append(time.perf_counter() - t0)
+
+    def med(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    timings = {name: round(med(xs), 3) for name, xs in samples.items()}
+    spread = {
+        name: {
+            "median": round(med(xs), 3),
+            "min": round(min(xs), 3),
+            "max": round(max(xs), 3),
+            "n": len(xs),
+        }
+        for name, xs in samples.items()
+    }
+    t_build = med(samples["index_build"])
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -111,11 +138,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "files_per_sec": round(CORPUS_DOCS / t_build, 2),
                 "corpus_docs": CORPUS_DOCS,
                 "corpus_gen_sec": round(t_gen, 3),
                 "cores": cores,
+                "runs": n_runs,
             }
         )
     )
