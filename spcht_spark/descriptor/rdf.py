@@ -28,7 +28,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-FORMATS = ("nt", "nquads", "ttl", "turtle", "xml")
+# n3: Turtle output is valid N3 (Turtle is an N3 subset), matching
+# rdflib's behavior for format="n3" on triple-only graphs
+# (/root/reference/Spcht/Core/SpchtUtility.py:513 accepts both names).
+FORMATS = ("nt", "nquads", "ttl", "turtle", "n3", "xml")
 
 # PN_LOCAL we are willing to prefix-compress (conservative subset of the
 # Turtle grammar; anything else falls back to a full <uri>).
@@ -228,7 +231,7 @@ def write_rdf(
         triples_to_nquads(triples, graph or "urn:spcht:default").write.mode(
             "overwrite"
         ).text(path)
-    elif fmt in ("ttl", "turtle"):
+    elif fmt in ("ttl", "turtle", "n3"):
         header, body = triples_to_turtle(triples)
         head_df = spark.createDataFrame([(header,)], ["line"]).coalesce(1)
         head_df.unionAll(body).write.mode("overwrite").text(path)
@@ -250,7 +253,7 @@ def serialize_rdf(triples: DataFrame, fmt: str = "ttl", graph: str | None = None
     if fmt == "nquads":
         rows = triples_to_nquads(triples, graph or "urn:spcht:default").collect()
         return "".join(r["line"] + "\n" for r in rows)
-    if fmt in ("ttl", "turtle"):
+    if fmt in ("ttl", "turtle", "n3"):
         header, body = triples_to_turtle(triples)
         blocks = sorted(r["line"] for r in body.collect())
         # blocks end ".\n"; joining/closing with "\n" leaves one blank
