@@ -305,6 +305,75 @@ def q_index_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_rounded(out)
 
 
+# Phrase query set: (query_id, phrase tokens in order, LIKE pattern).
+DOC_PHRASES: list[tuple[str, list[str]]] = [
+    ("p_batch2", ["batch", "batch"]),
+    ("p_order_sort", ["order", "sort"]),
+    ("p_window2", ["window", "window"]),
+    ("p_stream_spark", ["stream", "spark"]),
+    ("p_hash_scan_join", ["hash", "scan", "join"]),
+    ("p_dup2", ["dup", "dup"]),
+]
+
+
+def q_index_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval over POSITIONAL postings (round-2 VERDICT
+    missing #4; Solr phrase `q`, WorkOrder.py:693): build the positional
+    layout (per-posting delta+varbyte position lists riding the same
+    (term, shard) blocks), intersect phrase terms per shard, verify
+    in-order adjacency from decoded positions, score matches with the
+    conjunctive BM25 of the phrase's distinct terms. Oracle: DuckDB
+    reproduces phrase containment with LIKE on the space-joined token
+    text and the same conjunctive scoring."""
+    from spcht_spark.index.phrase import build_positional_index, phrase_topk
+
+    idx = build_positional_index(
+        spark, _index_corpus(spark, sf_dir), mode="ws", shard_span=_INDEX_SHARD_SPAN
+    )
+    qs = [(qid, ts, DOC_K + 5) for qid, ts in DOC_PHRASES]
+    out = phrase_topk(spark, idx.blocks, idx.dictionary, idx.stats, qs)
+    return _rerank_rounded(out)
+
+
+def _phrase_bm25_sql() -> str:
+    """Conjunctive BM25 over each phrase's distinct terms, restricted to
+    docs whose space-joined text contains the phrase (fq-free twin of
+    the engine's adjacency gate — `documents.text` IS the single-space
+    token sequence)."""
+    vals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in DOC_PHRASES for t in sorted(set(ts))
+    )
+    matches = "\n  UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id, doc_id FROM documents "
+        f"WHERE ' ' || text || ' ' LIKE '% {' '.join(ts)} %'"
+        for qid, ts in DOC_PHRASES
+    )
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  m AS ({matches}),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+         JOIN m ON m.query_id = q.query_id AND m.doc_id = tf.doc_id
+    GROUP BY q.query_id, tf.doc_id),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
+"""
+
+
 def _filtered_bm25_sql() -> str:
     """Same BM25 oracle, candidates restricted by the fq AFTER scoring
     stats are fixed (idf/avgdl over the full corpus — fq semantics)."""
@@ -1167,6 +1236,7 @@ QUERIES = {
     "index_wand_topk": q_index_wand_topk,
     "index_filtered_topk": q_index_filtered_topk,
     "index_incremental_topk": q_index_incremental_topk,
+    "index_phrase_topk": q_index_phrase_topk,
     "term_stats": q_term_stats,
     "doclen_hist": q_doclen_hist,
     "regex_match_filter": q_regex_match_filter,
@@ -1209,6 +1279,7 @@ ORACLES = {
     "index_wand_topk": _bm25_sql(),
     "index_filtered_topk": _filtered_bm25_sql(),
     "index_incremental_topk": _bm25_sql(),
+    "index_phrase_topk": _phrase_bm25_sql(),
     "term_stats": Q_TERM_STATS_SQL,
     "doclen_hist": Q_DOCLEN_HIST_SQL,
     "regex_match_filter": Q_REGEX_MATCH_SQL,

@@ -58,6 +58,38 @@ def varbyte_encode_blocks(arr: np.ndarray, block_size: int) -> list[bytes]:
     ]
 
 
+def varbyte_encode_segments(arr: np.ndarray, seg_starts: np.ndarray) -> list[bytes]:
+    """Encode ``arr`` once, return per-segment byte strings for segments
+    beginning at ``seg_starts`` (ascending, seg_starts[0] == 0). The
+    positional-postings twin of :func:`varbyte_encode_blocks` for
+    variable-length segments (one segment per posting's position list)."""
+    v = np.ascontiguousarray(arr, dtype=np.uint64)
+    if len(v) == 0:
+        return [b""] * max(len(seg_starts), 0)
+    buf = varbyte_encode(v)
+    lengths = np.searchsorted(_THRESHOLDS, v, side="right") + 1
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    seg_ends = np.concatenate((seg_starts[1:], [len(v)]))
+    return [
+        buf[starts[s] : ends[e - 1]] if e > s else b""
+        for s, e in zip(seg_starts, seg_ends)
+    ]
+
+
+def segmented_positions(gaps: np.ndarray, seg_lengths: np.ndarray) -> np.ndarray:
+    """Absolute positions from per-segment delta gaps (each segment's
+    first gap is the absolute value; the chain resets per segment).
+    Vectorized segmented cumsum — no per-segment Python loop."""
+    if len(gaps) == 0:
+        return np.zeros(0, dtype=np.int64)
+    g = gaps.astype(np.int64)
+    total = np.cumsum(g)
+    starts = np.cumsum(seg_lengths) - seg_lengths
+    base = np.repeat(total[starts] - g[starts], seg_lengths)
+    return total - base
+
+
 def delta_gaps_blocked(docs: np.ndarray, block_size: int) -> np.ndarray:
     """Delta gaps with the delta chain reset at every block start (first
     element of each block stays the absolute doc id)."""

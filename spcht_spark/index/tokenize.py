@@ -107,6 +107,105 @@ def tokens_arrow(corpus: DataFrame) -> DataFrame:
     return corpus.select("doc_id", "content").mapInPandas(invert, schema=TOKENS_SCHEMA)
 
 
+POS_TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("tf", T.LongType(), False),
+        T.StructField("dl", T.LongType(), False),
+        T.StructField("pos_bin", T.BinaryType(), False),
+    ]
+)
+
+
+def tokens_positional(corpus: DataFrame, mode: str = "arrow") -> DataFrame:
+    """(doc_id, term, tf, dl, pos_bin) — the positional SPIMI map side.
+
+    ``pos_bin`` holds the term's occurrence positions in the doc
+    (0-based indices into the doc's token sequence), delta-gapped and
+    varbyte-encoded — the layout phrase queries decode
+    (spcht_spark.index.phrase). Position extraction, grouping, gap
+    encoding are all numpy over the Arrow batch (no per-row Python).
+    ``mode='arrow'`` uses TOKEN_REGEX (the code tokenizer);
+    ``mode='ws'`` splits on single spaces (the SQL-oracle-portable
+    token definition — positions then index the split sequence).
+
+    Solr stores positions for the same reason (phrase `q`,
+    /root/reference/Spcht/Core/WorkOrder.py:693 passes queries through
+    verbatim, phrases included)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from spcht_spark.index.compress import varbyte_encode_segments
+
+    punct = r"[{}()\[\];:=,.<>+\-*/]"
+
+    def tokenize_lists_regex(content: pa.Array) -> pa.Array:
+        s = pc.replace_substring_regex(
+            content, pattern=rf"[^A-Za-z0-9_\s{{}}()\[\];:=,.<>+\-*/]", replacement=" "
+        )
+        s = pc.replace_substring_regex(s, pattern=f"({punct})", replacement=r" \1 ")
+        s = pc.replace_substring_regex(
+            s, pattern=r"(^|[^A-Za-z0-9_])([0-9]+)([A-Za-z_])", replacement=r"\1\2 \3"
+        )
+        return pc.split_pattern_regex(s, pattern=r"\s+")
+
+    def tokenize_lists_ws(content: pa.Array) -> pa.Array:
+        return pc.split_pattern(content, pattern=" ")
+
+    tok = tokenize_lists_regex if mode == "arrow" else tokenize_lists_ws
+
+    def invert(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lists = tok(pa.array(pdf["content"], type=pa.string()))
+            flat = pc.list_flatten(lists)
+            if len(flat) == 0:
+                continue
+            parents = pc.list_parent_indices(lists)
+            keep = pc.not_equal(flat, "")
+            terms = flat.filter(keep).to_numpy(zero_copy_only=False)
+            par = parents.filter(keep).to_numpy(zero_copy_only=False)
+            if len(terms) == 0:
+                continue
+            # positions index the FILTERED token sequence per doc
+            # (parents ascending by construction of list_flatten)
+            n = len(par)
+            seg_change = np.flatnonzero(np.diff(par)) + 1
+            seg_starts = np.concatenate(([0], seg_change))
+            seg_lens = np.diff(np.concatenate((seg_starts, [n])))
+            pos = np.arange(n, dtype=np.int64) - np.repeat(seg_starts, seg_lens)
+            doc_ids = pdf["doc_id"].to_numpy()[par]
+            dl_per_doc = np.repeat(seg_lens.astype(np.int64), seg_lens)
+
+            df = pd.DataFrame(
+                {"doc_id": doc_ids, "term": terms, "pos": pos, "dl": dl_per_doc}
+            ).sort_values(["doc_id", "term", "pos"], kind="stable")
+            d = df["doc_id"].to_numpy()
+            t = df["term"].to_numpy()
+            p = df["pos"].to_numpy()
+            grp_change = np.flatnonzero((d[1:] != d[:-1]) | (t[1:] != t[:-1])) + 1
+            g_starts = np.concatenate(([0], grp_change))
+            g_lens = np.diff(np.concatenate((g_starts, [len(d)])))
+            # delta-gap positions, chain reset at each (doc, term) group
+            gaps = np.diff(p, prepend=np.int64(0))
+            gaps[g_starts] = p[g_starts]
+            bins = varbyte_encode_segments(gaps.astype(np.uint64), g_starts)
+            yield pd.DataFrame(
+                {
+                    "doc_id": d[g_starts],
+                    "term": t[g_starts],
+                    "tf": g_lens.astype(np.int64),
+                    "dl": df["dl"].to_numpy()[g_starts],
+                    "pos_bin": bins,
+                }
+            )
+
+    return corpus.select("doc_id", "content").mapInPandas(invert, schema=POS_TOKENS_SCHEMA)
+
+
 def tokens_ws(corpus: DataFrame) -> DataFrame:
     """Whitespace tokens (single-space split), pure Catalyst.
 
