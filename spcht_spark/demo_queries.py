@@ -405,6 +405,48 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
 """
 
 
+def q_index_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts alongside retrieval (Solr ``facet.field`` +
+    ``facet.range`` parity — the request surface the reference's Solr
+    exposes next to q/fq/fl, WorkOrder.py:693-707): for each query,
+    counts over ALL matching docs (contains ≥1 query term, Solr's
+    default OR), one field facet (lang) and one range facet (n_chars in
+    buckets of 100). The match set comes from the persisted posting
+    blocks (term-pruned scan → decode → distinct), never a corpus scan;
+    counting is one equi-join on doc_id plus partial-agg groupBys."""
+    from spcht_spark.index.facets import facet_counts
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    facets = {
+        "lang": F.col("lang"),
+        "n_chars_100": (F.floor(F.col("n_chars") / F.lit(100)) * 100).cast("long"),
+    }
+    return facet_counts(
+        spark, idx.blocks, DOC_QUERIES,
+        docs.select("doc_id", "lang", "n_chars"), facets,
+    )
+
+
+def _facets_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  q(query_id, term) AS (VALUES {vals}),
+  m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+  j AS (SELECT m.query_id, d.lang, d.n_chars
+        FROM m JOIN documents d USING (doc_id)),
+  f1 AS (SELECT query_id, 'lang' AS field, lang AS value,
+                count(*)::BIGINT AS n
+         FROM j GROUP BY query_id, lang),
+  f2 AS (SELECT query_id, 'n_chars_100' AS field,
+                ((floor(n_chars / 100.0) * 100)::BIGINT)::VARCHAR AS value,
+                count(*)::BIGINT AS n
+         FROM j GROUP BY query_id, (floor(n_chars / 100.0) * 100)::BIGINT)
+SELECT * FROM f1 UNION ALL SELECT * FROM f2
+"""
+
+
 # ------------------------------------------------- index-stats aggregates
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1237,6 +1279,7 @@ QUERIES = {
     "index_filtered_topk": q_index_filtered_topk,
     "index_incremental_topk": q_index_incremental_topk,
     "index_phrase_topk": q_index_phrase_topk,
+    "index_facets": q_index_facets,
     "term_stats": q_term_stats,
     "doclen_hist": q_doclen_hist,
     "regex_match_filter": q_regex_match_filter,
@@ -1280,6 +1323,7 @@ ORACLES = {
     "index_filtered_topk": _filtered_bm25_sql(),
     "index_incremental_topk": _bm25_sql(),
     "index_phrase_topk": _phrase_bm25_sql(),
+    "index_facets": _facets_sql(),
     "term_stats": Q_TERM_STATS_SQL,
     "doclen_hist": Q_DOCLEN_HIST_SQL,
     "regex_match_filter": Q_REGEX_MATCH_SQL,

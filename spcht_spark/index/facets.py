@@ -1,0 +1,117 @@
+"""Facet counts over the matching-doc set of an index query.
+
+Solr parity: the reference's upstream Solr exposes ``facet.field`` /
+``facet.range`` alongside every query (the Solr request surface Spcht
+talks to via ``q``/``fq``/``fl``, /root/reference/Spcht/Core/
+WorkOrder.py:693-707); faceting is the canonical "what does the result
+set look like" companion to top-k. Here a facet is computed over ALL
+docs matching the query (disjunctive: contains ≥1 query term, Solr's
+default OR op), not just the top-k page — exactly Solr semantics.
+
+Spark-first shape (100 TB lens):
+
+* The matching-doc set comes from the posting blocks (``term IN (...)``
+  pruned scan → Arrow decode → distinct), never from a corpus scan —
+  facets cost O(|postings of query terms|), not O(corpus).
+* distinct on (query_id, doc_id) is one shuffle; the attrs join is an
+  equi-join on doc_id (narrow ids vs the attrs table, broadcastable
+  from the facet side when the match set is small); the final count is
+  a partial-aggregating groupBy. No window, no driver collect.
+* Range facets are just a bucket Column expression — computed JVM-side
+  in the same pass, Solr ``facet.range`` ≙ floor((x-start)/gap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spcht_spark.index.query import decode_blocks
+
+FACET_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType(), False),
+        T.StructField("field", T.StringType(), False),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+
+def matching_docs(
+    spark: SparkSession,
+    blocks: DataFrame,
+    queries: list[tuple[str, list[str]]],
+) -> DataFrame:
+    """(query_id, doc_id) — distinct docs containing ≥1 query term.
+
+    The block scan is pruned by ``term IN (...)`` (pushed to parquet
+    row-group stats on the sorted term column, same path plan_audit.py
+    checks for the top-k queries)."""
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    if not all_terms:
+        return spark.createDataFrame(
+            [], schema="query_id string, doc_id long"
+        )
+    qrows = [(qid, t) for qid, ts in queries for t in sorted(set(ts))]
+    query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
+    postings = decode_blocks(blocks.filter(F.col("term").isin(all_terms)))
+    return (
+        postings.join(F.broadcast(query_terms), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+
+
+def facet_counts(
+    spark: SparkSession,
+    blocks: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    attrs: DataFrame,
+    facets: dict[str, Column],
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, field, value, n) — per-query facet counts.
+
+    ``facets`` maps a facet name to a Column over ``attrs`` producing
+    the bucket value (a plain column for ``facet.field``, a bucket
+    expression like ``F.floor(F.col("n_chars")/100)*100`` for
+    ``facet.range``). ``doc_filter`` is Solr fq: a (doc_id) DataFrame
+    restricting the countable docs (semi-join on ids — narrow).
+
+    One matching-docs pass is shared by every facet (the attrs join
+    happens once); per-facet counting is a partial-agg groupBy each.
+    """
+    match = matching_docs(spark, blocks, queries)
+    if doc_filter is not None:
+        match = match.join(doc_filter.select("doc_id"), "doc_id", "semi")
+    need = ["doc_id"] + sorted(
+        {c for col in facets.values() for c in _referenced(attrs, col)}
+    )
+    joined = match.join(attrs.select(*[c for c in need]), "doc_id")
+
+    outs = []
+    for name in sorted(facets):
+        outs.append(
+            joined.groupBy(
+                "query_id", facets[name].cast("string").alias("value")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "query_id", F.lit(name).alias("field"), "value", "n"
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _referenced(attrs: DataFrame, col: Column) -> set[str]:
+    """Columns of attrs a facet expression touches (for pruning the
+    join input). Falls back to all columns when the expression string
+    is opaque."""
+    expr = str(col._jc)  # e.g. "Column<'FLOOR((n_chars / 100))'>"
+    hits = {c for c in attrs.columns if c != "doc_id" and c in expr}
+    return hits or {c for c in attrs.columns if c != "doc_id"}
