@@ -447,6 +447,74 @@ SELECT * FROM f1 UNION ALL SELECT * FROM f2
 """
 
 
+# Boolean query strings (Solr q syntax: default-OR, AND/OR/NOT, parens).
+DOC_BOOL_QUERIES: list[tuple[str, str]] = [
+    ("b_and", "spark AND join"),
+    ("b_or", "window stream"),
+    ("b_and_not", "join AND NOT hash"),
+    ("b_nested", "(join AND hash) OR (batch AND NOT row)"),
+    ("b_neg_missing", "customer AND NOT zz_no_such_term"),
+]
+
+
+def q_index_boolean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean `q` strings over the persisted index (Solr query-language
+    parity: the reference submits free-form AND/OR/NOT conjunctions,
+    WorkOrder.py:702-707): parse → one term-pruned block scan for all
+    terms (negated ones included, to prove inadmissibility) → per-doc
+    term-set + BM25 over positive terms → AST as a Catalyst predicate →
+    salted top-k. Lucene scoring semantics: MUST_NOT clauses never
+    score."""
+    from spcht_spark.index.boolean import boolean_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    qs = [(qid, s, DOC_K + 5) for qid, s in DOC_BOOL_QUERIES]
+    out = boolean_topk(spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, qs)
+    return _rerank_rounded(out)
+
+
+def _boolean_bm25_sql() -> str:
+    from spcht_spark.index.boolean import (
+        ast_terms, ast_to_duckdb, parse_query, positive_terms,
+    )
+
+    parsed = [(qid, parse_query(s)) for qid, s in DOC_BOOL_QUERIES]
+    vals = ", ".join(
+        f"('{qid}', '{t}', {str(t in positive_terms(ast)).upper()})"
+        for qid, ast in parsed
+        for t in sorted(ast_terms(ast))
+    )
+    pred = " OR ".join(
+        f"(query_id = '{qid}' AND {ast_to_duckdb(ast)})" for qid, ast in parsed
+    )
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term, is_pos) AS (VALUES {vals}),
+  g AS (
+    SELECT q.query_id, tf.doc_id,
+           list(DISTINCT tf.term) AS terms,
+           sum(CASE WHEN q.is_pos THEN
+                 ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+               ELSE 0.0 END) AS raw
+    FROM q JOIN tf USING (term) JOIN dft USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  f AS (SELECT query_id, doc_id, raw FROM g WHERE {pred}),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM f)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
+"""
+
+
 # ------------------------------------------------- index-stats aggregates
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1280,6 +1348,7 @@ QUERIES = {
     "index_incremental_topk": q_index_incremental_topk,
     "index_phrase_topk": q_index_phrase_topk,
     "index_facets": q_index_facets,
+    "index_boolean_topk": q_index_boolean_topk,
     "term_stats": q_term_stats,
     "doclen_hist": q_doclen_hist,
     "regex_match_filter": q_regex_match_filter,
@@ -1324,6 +1393,7 @@ ORACLES = {
     "index_incremental_topk": _bm25_sql(),
     "index_phrase_topk": _phrase_bm25_sql(),
     "index_facets": _facets_sql(),
+    "index_boolean_topk": _boolean_bm25_sql(),
     "term_stats": Q_TERM_STATS_SQL,
     "doclen_hist": Q_DOCLEN_HIST_SQL,
     "regex_match_filter": Q_REGEX_MATCH_SQL,

@@ -1,0 +1,249 @@
+"""Boolean query language over the block index (Lucene/Solr `q` syntax).
+
+The reference talks to Solr with free-form `q` strings (default operator
+OR, `AND`/`OR`/`NOT`, parentheses — /root/reference/Spcht/Core/
+WorkOrder.py:693-707 builds exactly such conjunctions). This module
+parses that surface and answers it from the posting blocks:
+
+* ``parse_query`` — recursive-descent parser → tiny AST
+  (('term', t) | ('and', [..]) | ('or', [..]) | ('not', x)).
+  Precedence NOT > AND > OR; adjacency is implicit OR (Solr default op).
+* ``boolean_topk`` — one term-pruned block scan for ALL terms of ALL
+  queries (including negated ones: their postings are needed to prove a
+  doc inadmissible), one groupBy (query, doc) building the doc's
+  term-set + its BM25 score over the POSITIVE terms (Lucene semantics:
+  MUST/SHOULD clauses score, MUST_NOT never does), then the AST
+  evaluated as a pure Catalyst predicate over the term-set and the
+  shared salted top-k. No corpus scan, no per-row Python.
+
+Pure-negative queries (any clause satisfiable by a doc containing NONE
+of the query terms, e.g. ``NOT x`` or ``a OR NOT b``) are rejected:
+such docs are invisible to a postings-only engine — the same rule
+Lucene applies to top-level MUST_NOT. The check is semantic, not
+syntactic: the AST is evaluated against the empty term-set.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spcht_spark.index.query import (
+    TOPK_SCHEMA,
+    decode_blocks,
+    query_idfs,
+    topk,
+)
+from spcht_spark.oracle import B, K1
+
+Ast = tuple
+
+_TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _lex(q: str) -> list[str]:
+    return _TOKEN_RE.findall(q)
+
+
+def parse_query(q: str) -> Ast:
+    """Parse a boolean query string. Raises QueryParseError on syntax
+    errors and on pure-negative (postings-unanswerable) queries."""
+    toks = _lex(q)
+    pos = 0
+
+    def peek() -> str | None:
+        return toks[pos] if pos < len(toks) else None
+
+    def take() -> str:
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or() -> Ast:
+        parts = [parse_and()]
+        while True:
+            t = peek()
+            if t is None or t == ")":
+                break
+            if t.upper() == "OR":
+                take()
+                parts.append(parse_and())
+            elif t.upper() == "AND":
+                break
+            else:  # adjacency: implicit OR (Solr default operator)
+                parts.append(parse_and())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def parse_and() -> Ast:
+        parts = [parse_unary()]
+        while peek() is not None and peek().upper() == "AND":
+            take()
+            parts.append(parse_unary())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def parse_unary() -> Ast:
+        t = peek()
+        if t is None:
+            raise QueryParseError(f"unexpected end of query: {q!r}")
+        if t.upper() == "NOT":
+            take()
+            return ("not", parse_unary())
+        if t.startswith("-") and len(t) > 1:  # Lucene '-term'
+            take()
+            return ("not", ("term", t[1:]))
+        if t == "(":
+            take()
+            inner = parse_or()
+            if peek() != ")":
+                raise QueryParseError(f"unbalanced parens in {q!r}")
+            take()
+            return inner
+        if t == ")" or t.upper() in ("AND", "OR"):
+            raise QueryParseError(f"unexpected {t!r} in {q!r}")
+        return ("term", take().lower())
+
+    ast = parse_or()
+    if pos != len(toks):
+        raise QueryParseError(f"trailing tokens in {q!r}")
+    if eval_ast(ast, frozenset()):
+        raise QueryParseError(
+            f"pure-negative query {q!r} matches docs containing none of its "
+            "terms — unanswerable from postings (Lucene top-level MUST_NOT rule)"
+        )
+    return ast
+
+
+def ast_terms(ast: Ast) -> set[str]:
+    kind = ast[0]
+    if kind == "term":
+        return {ast[1]}
+    if kind == "not":
+        return ast_terms(ast[1])
+    return set().union(*(ast_terms(a) for a in ast[1]))
+
+
+def positive_terms(ast: Ast, neg: bool = False) -> set[str]:
+    """Terms occurring in scoring (non-negated) position."""
+    kind = ast[0]
+    if kind == "term":
+        return set() if neg else {ast[1]}
+    if kind == "not":
+        return positive_terms(ast[1], not neg)
+    return set().union(*(positive_terms(a, neg) for a in ast[1]))
+
+
+def eval_ast(ast: Ast, present: frozenset[str]) -> bool:
+    kind = ast[0]
+    if kind == "term":
+        return ast[1] in present
+    if kind == "not":
+        return not eval_ast(ast[1], present)
+    if kind == "and":
+        return all(eval_ast(a, present) for a in ast[1])
+    return any(eval_ast(a, present) for a in ast[1])
+
+
+def ast_predicate(ast: Ast, terms_col: Column) -> Column:
+    """AST → Catalyst boolean over an array-of-terms column."""
+    kind = ast[0]
+    if kind == "term":
+        return F.array_contains(terms_col, ast[1])
+    if kind == "not":
+        return ~ast_predicate(ast[1], terms_col)
+    parts = [ast_predicate(a, terms_col) for a in ast[1]]
+    out = parts[0]
+    for p in parts[1:]:
+        out = (out & p) if kind == "and" else (out | p)
+    return out
+
+
+def ast_to_duckdb(ast: Ast, terms_expr: str = "terms") -> str:
+    """AST → DuckDB SQL predicate over a LIST(VARCHAR) column (oracle
+    twin of ast_predicate)."""
+    kind = ast[0]
+    if kind == "term":
+        t = ast[1].replace("'", "''")
+        return f"list_contains({terms_expr}, '{t}')"
+    if kind == "not":
+        return f"(NOT {ast_to_duckdb(ast[1], terms_expr)})"
+    op = " AND " if kind == "and" else " OR "
+    return "(" + op.join(ast_to_duckdb(a, terms_expr) for a in ast[1]) + ")"
+
+
+def boolean_topk(
+    spark: SparkSession,
+    blocks: DataFrame,
+    doclens: DataFrame,
+    dictionary: DataFrame,
+    stats: DataFrame,
+    queries: list[tuple[str, str, int]],
+) -> DataFrame:
+    """Top-k for a batch of boolean query strings.
+
+    Plan: ``term IN (all terms)`` pruned block scan → Arrow decode →
+    doclens join → per-(query, doc) groupBy collecting the term-set and
+    the term-ordered BM25 sum over positive terms (negated terms ride
+    along with contribution 0.0 — they exist only to prove/disprove the
+    predicate) → AST predicate (pure Catalyst, dispatched per query) →
+    shared salted top-k. Scoring stats stay corpus-wide, like fq."""
+    parsed = [(qid, parse_query(qs), k) for qid, qs, k in queries]
+    stats_row = stats.collect()[0]
+    avgdl = float(stats_row["avgdl"])
+    all_terms = sorted({t for _, ast, _ in parsed for t in ast_terms(ast)})
+    idfs = query_idfs(dictionary, stats_row, all_terms)
+    if not idfs:
+        return spark.createDataFrame([], schema=TOPK_SCHEMA)
+
+    qrows = [
+        (qid, t, t in positive_terms(ast))
+        for qid, ast, _ in parsed
+        for t in sorted(ast_terms(ast))
+        if t in idfs
+    ]
+    query_terms = spark.createDataFrame(qrows, ["query_id", "term", "is_pos"])
+    postings = decode_blocks(blocks.filter(F.col("term").isin(list(idfs.keys()))))
+    idf_map = F.create_map(
+        *[x for t, v in sorted(idfs.items()) for x in (F.lit(t), F.lit(v))]
+    )
+    contrib = (
+        postings.join(doclens, "doc_id")
+        .join(F.broadcast(query_terms), "term")
+        .withColumn(
+            "contrib",
+            F.when(
+                F.col("is_pos"),
+                idf_map[F.col("term")]
+                * (
+                    (F.col("tf") * F.lit(K1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(K1)
+                        * (F.lit(1.0 - B) + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+                    )
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    g = contrib.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score"),
+        F.collect_set("term").alias("present"),
+    )
+    # one predicate Column for all queries: CASE WHEN query_id=... THEN ast_i
+    pred = F.lit(False)
+    for qid, ast, _ in parsed:
+        pred = F.when(
+            F.col("query_id") == qid, ast_predicate(ast, F.col("present"))
+        ).otherwise(pred)
+    admissible = g.filter(pred).drop("present")
+    return topk(admissible, {qid: k for qid, _, k in parsed})

@@ -1,0 +1,141 @@
+"""Boolean query parser + postings execution vs a pure-Python oracle."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from spcht_spark.index.boolean import (
+    QueryParseError,
+    ast_terms,
+    ast_to_duckdb,
+    boolean_topk,
+    eval_ast,
+    parse_query,
+    positive_terms,
+)
+from spcht_spark.oracle import idf as idf_py
+from spcht_spark.oracle import term_score, tokenize_py
+
+# ------------------------------------------------------------- parser
+
+def test_parse_precedence_and_over_or():
+    assert parse_query("a AND b OR c") == (
+        "or", [("and", [("term", "a"), ("term", "b")]), ("term", "c")]
+    )
+
+
+def test_parse_implicit_or_default_op():
+    assert parse_query("a b c") == (
+        "or", [("term", "a"), ("term", "b"), ("term", "c")]
+    )
+
+
+def test_parse_not_and_minus():
+    assert parse_query("a AND NOT b") == parse_query("a AND -b") == (
+        "and", [("term", "a"), ("not", ("term", "b"))]
+    )
+
+
+def test_parse_parens_and_case_normalization():
+    ast = parse_query("(X OR y) AND NOT (z AND w)")
+    assert ast == (
+        "and",
+        [
+            ("or", [("term", "x"), ("term", "y")]),
+            ("not", ("and", [("term", "z"), ("term", "w")])),
+        ],
+    )
+    assert ast_terms(ast) == {"x", "y", "z", "w"}
+    assert positive_terms(ast) == {"x", "y"}
+
+
+@pytest.mark.parametrize(
+    "bad", ["NOT a", "a OR NOT b", "NOT (a AND b)", "-a", "(a", "a)", "a AND", "AND a"]
+)
+def test_parse_rejects(bad):
+    with pytest.raises(QueryParseError):
+        parse_query(bad)
+
+
+def test_double_negation_in_and_is_allowed():
+    # a AND NOT NOT b == a AND b: not satisfiable by the empty set
+    ast = parse_query("a AND NOT (NOT b)")
+    assert eval_ast(ast, frozenset({"a", "b"}))
+    assert not eval_ast(ast, frozenset({"a"}))
+
+
+def test_ast_to_duckdb_shape():
+    sql = ast_to_duckdb(parse_query("a AND NOT b"))
+    assert sql == "(list_contains(terms, 'a') AND (NOT list_contains(terms, 'b')))"
+
+
+# ----------------------------------------------------------- execution
+
+BOOL_QUERIES = [
+    ("b_and", "return AND if", 10),
+    ("b_or", "while let", 10),
+    ("b_and_not", "return AND NOT if", 10),
+    ("b_nested", "(def AND class) OR (func AND NOT var)", 10),
+    ("b_missing_neg", "import AND NOT zz_no_such_term", 10),
+    ("b_missing_pos", "zz_no_such_term AND import", 10),
+]
+
+
+def _py_bool_topk(pdf, qstring: str, k: int):
+    ast = parse_query(qstring)
+    terms = sorted(ast_terms(ast))
+    pos = positive_terms(ast)
+    toks = {int(r.doc_id): Counter(tokenize_py(r.content)) for r in pdf.itertuples()}
+    dls = {d: sum(c.values()) for d, c in toks.items()}
+    n_docs = len(toks)
+    avgdl = sum(dls.values()) / n_docs
+    dfs = {t: sum(1 for c in toks.values() if t in c) for t in terms}
+    out = []
+    for d, c in sorted(toks.items()):
+        present = frozenset(t for t in terms if t in c)
+        if not present or not eval_ast(ast, present):
+            continue
+        score = 0.0
+        for t in sorted(present):
+            if t in pos and dfs[t] > 0:
+                score += term_score(c[t], dls[d], avgdl, idf_py(n_docs, dfs[t]))
+        out.append((d, score))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def test_boolean_topk_matches_python(spark, small_corpus_pd, small_index):
+    got = boolean_topk(
+        spark,
+        small_index.blocks,
+        small_index.doclens,
+        small_index.dictionary,
+        small_index.stats,
+        BOOL_QUERIES,
+    ).collect()
+    by_q: dict[str, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, qs, k in BOOL_QUERIES:
+        exp = _py_bool_topk(small_corpus_pd, qs, k)
+        assert by_q.get(qid, []) == exp, qid
+
+
+def test_boolean_and_matches_and_topk(spark, small_index):
+    """'a AND b' through the parser == the dedicated conjunctive path."""
+    from spcht_spark.index.wand import and_topk
+
+    got = boolean_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        [("q", "return AND while", 15)],
+    ).collect()
+    want = and_topk(
+        spark, small_index.blocks, small_index.dictionary, small_index.stats,
+        [("q", ["return", "while"], 15)],
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in sorted(got, key=lambda r: r["rank"])] == [
+        (r["doc_id"], r["score"]) for r in sorted(want, key=lambda r: r["rank"])
+    ]
