@@ -515,6 +515,47 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
 """
 
 
+_PAGE_SIZE = 15
+_N_PAGES = 3
+
+
+def q_index_cursor_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted retrieval + cursorMark deep paging (Solr parity: the
+    reference walks its corpus with sort="id asc" + cursorMark,
+    following nextCursorMark — WorkOrder.py:693,745-746). Three pages
+    of 15 per query, sorted by (n_chars asc, doc_id asc), fetched
+    through keyset cursors: page N filters strictly beyond page N-1's
+    last (sort, doc) instead of offset-skipping. The oracle checks the
+    concatenated pages against ONE offset-ranked window — proving
+    keyset pagination reconstructs the global order exactly."""
+    from spcht_spark.index.cursor import paged_scan
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return paged_scan(
+        spark, idx.blocks, DOC_QUERIES, docs.select("doc_id", "n_chars"),
+        "n_chars", _PAGE_SIZE, _N_PAGES,
+    )
+
+
+def _cursor_pages_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  q(query_id, term) AS (VALUES {vals}),
+  m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+  j AS (SELECT m.query_id, m.doc_id, d.n_chars::BIGINT AS sort_value
+        FROM m JOIN documents d USING (doc_id)),
+  r AS (SELECT query_id, doc_id, sort_value,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sort_value, doc_id) AS rn
+        FROM j)
+SELECT query_id, ((rn - 1) // {_PAGE_SIZE})::INTEGER AS page,
+       ((rn - 1) % {_PAGE_SIZE} + 1)::INTEGER AS pos, doc_id, sort_value
+FROM r WHERE rn <= {_PAGE_SIZE * _N_PAGES}
+"""
+
+
 # ------------------------------------------------- index-stats aggregates
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1349,6 +1390,7 @@ QUERIES = {
     "index_phrase_topk": q_index_phrase_topk,
     "index_facets": q_index_facets,
     "index_boolean_topk": q_index_boolean_topk,
+    "index_cursor_pages": q_index_cursor_pages,
     "term_stats": q_term_stats,
     "doclen_hist": q_doclen_hist,
     "regex_match_filter": q_regex_match_filter,
@@ -1394,6 +1436,7 @@ ORACLES = {
     "index_phrase_topk": _phrase_bm25_sql(),
     "index_facets": _facets_sql(),
     "index_boolean_topk": _boolean_bm25_sql(),
+    "index_cursor_pages": _cursor_pages_sql(),
     "term_stats": Q_TERM_STATS_SQL,
     "doclen_hist": Q_DOCLEN_HIST_SQL,
     "regex_match_filter": Q_REGEX_MATCH_SQL,

@@ -1,0 +1,120 @@
+"""Sorted retrieval with cursorMark-style deep pagination.
+
+The reference pages through its entire Solr corpus with
+``sort="id asc"`` + ``cursorMark``, following ``nextCursorMark`` page
+by page (/root/reference/Spcht/Core/WorkOrder.py:693,745-746). Solr's
+cursorMark is keyset pagination: the cursor encodes the sort values of
+the last row served, and the next page filters ``(sort, id) >
+cursor`` — O(page) per page, unlike ``start=N`` offset paging which
+re-sorts and skips N rows (Solr's own deep-paging doc makes the same
+argument).
+
+Spark-first shape (100 TB lens):
+
+* The keyset predicate is a pure Catalyst filter — on a corpus sorted
+  or range-partitioned by the sort column it prunes at the scan
+  (min/max row-group stats), so page N never rescans pages 1..N-1.
+* Each page's top-``page_size`` uses the same two-stage salted pattern
+  as the score top-k: per-(query, salt) partial heads first, so no
+  single reducer sees every matching doc of one query.
+* The driver-side loop materializes ``page_size × |queries|`` rows per
+  page — exactly the bounded collect the reference's Solr client
+  performs per cursor step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spcht_spark.index.facets import matching_docs
+
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType(), False),
+        T.StructField("page", T.IntegerType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sort_value", T.LongType(), False),
+    ]
+)
+
+
+def _page_head(matched: DataFrame, page_size: int) -> DataFrame:
+    """Per-query first ``page_size`` rows in (sort_value, doc_id) asc
+    order — two-stage so the global window sees ≤ 64·page_size rows."""
+    order = (F.asc("sort_value"), F.asc("doc_id"))
+    w_salt = Window.partitionBy("query_id", "salt").orderBy(*order)
+    pre = (
+        matched.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+        .withColumn("r1", F.row_number().over(w_salt))
+        .filter(F.col("r1") <= page_size)
+        .drop("salt", "r1")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pre.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= page_size)
+    )
+
+
+def paged_scan(
+    spark: SparkSession,
+    blocks: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    attrs: DataFrame,
+    sort_col: str,
+    page_size: int,
+    n_pages: int,
+) -> DataFrame:
+    """First ``n_pages`` of each query's matching docs sorted by
+    (``sort_col`` asc, doc_id asc), fetched page-by-page through
+    keyset cursors — (query_id, page, pos, doc_id, sort_value).
+
+    ``attrs`` must carry (doc_id, sort_col). Page 0 runs unfiltered;
+    page N filters strictly beyond each query's cursor (the (sort,
+    doc) of the last row of page N-1), so the pages provably
+    reconstruct the global sort order — the driver oracle checks the
+    whole output against one offset-ranked SQL window."""
+    match = (
+        matching_docs(spark, blocks, queries)
+        .join(
+            attrs.select(
+                "doc_id", F.col(sort_col).cast("long").alias("sort_value")
+            ),
+            "doc_id",
+        )
+        .localCheckpoint(eager=False)  # reused by every page
+    )
+    cursors: dict[str, tuple[int, int] | None] = {qid: None for qid, _ in queries}
+    exhausted: set[str] = set()
+    out_rows: list[tuple] = []
+    for page in range(n_pages):
+        live = [q for q in cursors if q not in exhausted]
+        if not live:
+            break
+        pred = F.lit(False)
+        for qid in live:
+            cur = cursors[qid]
+            if cur is None:
+                cond = F.lit(True)
+            else:
+                sv, d = cur
+                cond = (F.col("sort_value") > sv) | (
+                    (F.col("sort_value") == sv) & (F.col("doc_id") > d)
+                )
+            pred = F.when(F.col("query_id") == qid, cond).otherwise(pred)
+        rows = _page_head(match.filter(pred), page_size).collect()
+        seen_per_q: dict[str, int] = {}
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["pos"])):
+            qid = r["query_id"]
+            seen_per_q[qid] = seen_per_q.get(qid, 0) + 1
+            out_rows.append(
+                (qid, page, r["pos"], r["doc_id"], r["sort_value"])
+            )
+            cursors[qid] = (r["sort_value"], r["doc_id"])  # nextCursorMark
+        for qid in live:
+            if seen_per_q.get(qid, 0) < page_size:
+                exhausted.add(qid)  # cursorMark repeats → stop (Solr rule)
+    return spark.createDataFrame(out_rows, schema=PAGE_SCHEMA)

@@ -1,0 +1,50 @@
+"""cursorMark keyset pagination vs a single global sort."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spcht_spark.index.cursor import paged_scan
+from spcht_spark.oracle import tokenize_py
+
+
+def _expected_pages(pdf, queries, page_size, n_pages):
+    toks = {int(r.doc_id): set(tokenize_py(r.content)) for r in pdf.itertuples()}
+    lens = {int(r.doc_id): len(r.content) for r in pdf.itertuples()}
+    out = []
+    for qid, terms in queries:
+        m = sorted(
+            ((lens[d], d) for d, s in toks.items() if s & set(terms)),
+        )
+        for i, (sv, d) in enumerate(m[: page_size * n_pages]):
+            out.append((qid, i // page_size, i % page_size + 1, d, sv))
+    return sorted(out)
+
+
+def test_paged_scan_reconstructs_global_sort(spark, small_corpus_pd, small_corpus, small_index):
+    queries = [("cp_hot", ["return", "if"]), ("cp_tail", ["handler7", "handler8"])]
+    attrs = small_corpus.select("doc_id", F.length("content").alias("n_chars"))
+    got = paged_scan(
+        spark, small_index.blocks, queries, attrs, "n_chars",
+        page_size=7, n_pages=4,
+    ).collect()
+    got_t = sorted(
+        (r["query_id"], r["page"], r["pos"], r["doc_id"], r["sort_value"]) for r in got
+    )
+    assert got_t == _expected_pages(small_corpus_pd, queries, 7, 4)
+
+
+def test_paged_scan_exhausts_early(spark, small_corpus_pd, small_corpus, small_index):
+    """A query with fewer matches than one page stops paging (Solr:
+    cursorMark repeats), and emits exactly its matches."""
+    queries = [("cp_rare", ["handler63"])]
+    attrs = small_corpus.select("doc_id", F.length("content").alias("n_chars"))
+    toks = {int(r.doc_id): set(tokenize_py(r.content)) for r in small_corpus_pd.itertuples()}
+    n_match = sum(1 for s in toks.values() if "handler63" in s)
+    assert n_match > 0
+    got = paged_scan(
+        spark, small_index.blocks, queries, attrs, "n_chars",
+        page_size=n_match + 10, n_pages=5,
+    ).collect()
+    assert len(got) == n_match
+    assert all(r["page"] == 0 for r in got)
