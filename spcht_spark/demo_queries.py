@@ -556,6 +556,67 @@ FROM r WHERE rn <= {_PAGE_SIZE * _N_PAGES}
 """
 
 
+_MLT_SEEDS = [11, 101, 303]
+_MLT_TERMS = 8
+
+
+def q_index_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this (Solr MLT handler parity): each seed doc is
+    rewritten into its top-8 tf·idf terms (tie-broken (round(w,6)
+    desc, term asc) so the SQL oracle agrees at boundaries), which run
+    as a disjunctive BM25 query over the persisted index with the seed
+    excluded from its own result. Query rewrite is driver-side (like
+    collecting query-term dfs); execution is the standard distributed
+    exact path."""
+    from spcht_spark.index.mlt import mlt_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    out = mlt_topk(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats,
+        docs, _MLT_SEEDS, k=DOC_K + 5, max_terms=_MLT_TERMS,
+        mode="ws", content_col="text",
+    )
+    return _rerank_rounded(out)
+
+
+def _mlt_sql() -> str:
+    seeds = ", ".join(f"({s})" for s in _MLT_SEEDS)
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  seeds(seed) AS (VALUES {seeds}),
+  sw AS (SELECT s.seed, tf.term,
+                round(tf.tf * ln(1.0 + (st.n_docs - dft.df + 0.5)
+                                       / (dft.df + 0.5)), 6) AS w
+         FROM seeds s JOIN tf ON tf.doc_id = s.seed
+              JOIN dft USING (term) CROSS JOIN stats st),
+  topt AS (SELECT seed, term FROM (
+             SELECT seed, term,
+                    row_number() OVER (PARTITION BY seed
+                                       ORDER BY w DESC, term) AS rn
+             FROM sw) WHERE rn <= {_MLT_TERMS}),
+  q AS (SELECT 'mlt_' || seed::VARCHAR AS query_id, seed, term FROM topt),
+  scored AS (
+    SELECT q.query_id, q.seed, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, q.seed, tf.doc_id),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM scored WHERE doc_id <> seed)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
+"""
+
+
 # ------------------------------------------------- index-stats aggregates
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1391,6 +1452,7 @@ QUERIES = {
     "index_facets": q_index_facets,
     "index_boolean_topk": q_index_boolean_topk,
     "index_cursor_pages": q_index_cursor_pages,
+    "index_mlt": q_index_mlt,
     "term_stats": q_term_stats,
     "doclen_hist": q_doclen_hist,
     "regex_match_filter": q_regex_match_filter,
@@ -1437,6 +1499,7 @@ ORACLES = {
     "index_facets": _facets_sql(),
     "index_boolean_topk": _boolean_bm25_sql(),
     "index_cursor_pages": _cursor_pages_sql(),
+    "index_mlt": _mlt_sql(),
     "term_stats": Q_TERM_STATS_SQL,
     "doclen_hist": Q_DOCLEN_HIST_SQL,
     "regex_match_filter": Q_REGEX_MATCH_SQL,
