@@ -617,6 +617,83 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
 """
 
 
+_HL_WINDOW = 4
+
+
+def q_index_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet highlighting (Solr ``hl`` parity): the BM25 top-k page
+    from the persisted index, each hit carrying the ±4-token context
+    around the first query-term occurrence with matches wrapped in
+    <em>. Stored-field fetch touches only the k·|queries| hit rows
+    (broadcast against the doc store); snippet assembly is pure
+    Catalyst higher-order functions."""
+    from spcht_spark.index.highlight import highlight
+    from spcht_spark.index.query import exact_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    qs = [(qid, ts, DOC_K + 5) for qid, ts in DOC_QUERIES]
+    hits = _rerank_rounded(
+        exact_topk(spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, qs)
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return highlight(
+        hits, docs, DOC_QUERIES, window=_HL_WINDOW, content_col="text"
+    )
+
+
+def _highlight_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    w = _HL_WINDOW
+    branches = []
+    for i, (qid, ts) in enumerate(DOC_QUERIES):
+        terms = sorted(set(ts))
+        leasts = ", ".join(
+            f"coalesce(nullif(list_position(tk, '{t}'), 0), 1000000000)"
+            for t in terms
+        )
+        termlits = ", ".join(f"'{t}'" for t in terms)
+        branches.append(f"""
+  h{i} AS (
+    SELECT r.query_id, r.rank, r.doc_id, r.score, tks.tk,
+           least({leasts}) AS p
+    FROM ranked r JOIN tks ON r.doc_id = tks.doc_id
+    WHERE r.query_id = '{qid}' AND r.rank <= {DOC_K}),
+  s{i} AS (
+    SELECT query_id, rank, doc_id, score,
+           CASE WHEN p >= 1000000000 THEN NULL ELSE
+             array_to_string(list_transform(
+               tk[greatest(1, p - {w}):greatest(1, p - {w}) + {2 * w}],
+               t -> CASE WHEN t IN ({termlits})
+                         THEN '<em>' || t || '</em>' ELSE t END), ' ')
+           END AS snippet
+    FROM h{i})""")
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(len(DOC_QUERIES)))
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM scored),
+  tks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  {",".join(branches)}
+{union}
+"""
+
+
 # ------------------------------------------------- index-stats aggregates
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1453,6 +1530,7 @@ QUERIES = {
     "index_boolean_topk": q_index_boolean_topk,
     "index_cursor_pages": q_index_cursor_pages,
     "index_mlt": q_index_mlt,
+    "index_highlight": q_index_highlight,
     "term_stats": q_term_stats,
     "doclen_hist": q_doclen_hist,
     "regex_match_filter": q_regex_match_filter,
@@ -1500,6 +1578,7 @@ ORACLES = {
     "index_boolean_topk": _boolean_bm25_sql(),
     "index_cursor_pages": _cursor_pages_sql(),
     "index_mlt": _mlt_sql(),
+    "index_highlight": _highlight_sql(),
     "term_stats": Q_TERM_STATS_SQL,
     "doclen_hist": Q_DOCLEN_HIST_SQL,
     "regex_match_filter": Q_REGEX_MATCH_SQL,

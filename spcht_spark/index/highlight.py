@@ -1,0 +1,69 @@
+"""Snippet highlighting for query results (Solr ``hl`` parity).
+
+Solr returns, next to every hit, a fragment of the stored field with
+the matching terms wrapped in ``<em>`` — part of the response surface
+of the cores the reference queries (q/fq/fl/hl,
+/root/reference/Spcht/Core/WorkOrder.py:693). Engine contract here:
+for each (query, hit) the snippet is the ±``window`` token context
+around the FIRST occurrence of any query term, matched terms wrapped
+in ``<em>…</em>``.
+
+Spark-first: highlighting touches only the k·|queries| result rows —
+the hits are broadcast against the doc store (fetching stored fields
+for a result page, never a corpus scan), and the snippet is computed
+entirely in Catalyst higher-order functions (split → indexed transform
+→ array_min for the first hit position → slice → transform-wrap →
+array_join). No Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def highlight(
+    hits: DataFrame,
+    doc_store: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    window: int = 4,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """hits (query_id, rank, doc_id, …) → + ``snippet``.
+
+    Tokens are the single-space split of the stored field (the
+    SQL-oracle-portable token definition); position = 1-based index in
+    that split. A hit whose content contains no query term (possible
+    for phrase/filtered callers) gets a NULL snippet, like Solr
+    returning no highlight for a field."""
+    terms_map = F.create_map(
+        *[
+            x
+            for qid, ts in sorted(queries)
+            for x in (F.lit(qid), F.array(*[F.lit(t) for t in sorted(set(ts))]))
+        ]
+    )
+    docs = doc_store.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(content_col), " ").alias("_toks"),
+    )
+    j = F.broadcast(hits).join(docs, "doc_id")
+    qterms: Column = terms_map[F.col("query_id")]
+    # 1-based position of the first query-term occurrence (array_min
+    # skips the NULLs left by non-matching positions).
+    pos = F.array_min(
+        F.transform(
+            F.col("_toks"),
+            lambda t, i: F.when(F.array_contains(qterms, t), i + 1),
+        )
+    )
+    lo = F.greatest(F.lit(1), pos - window)
+    snip = F.slice(F.col("_toks"), lo, 2 * window + 1)
+    emph = F.transform(
+        snip,
+        lambda t: F.when(
+            F.array_contains(qterms, t), F.concat(F.lit("<em>"), t, F.lit("</em>"))
+        ).otherwise(t),
+    )
+    return j.withColumn("snippet", F.array_join(emph, " ")).drop("_toks")
