@@ -66,4 +66,7 @@ def highlight(
             F.array_contains(qterms, t), F.concat(F.lit("<em>"), t, F.lit("</em>"))
         ).otherwise(t),
     )
-    return j.withColumn("snippet", F.array_join(emph, " ")).drop("_toks")
+    # greatest() skips NULLs, so a no-match pos would silently anchor the
+    # window at 1 — gate explicitly: no occurrence → NULL snippet.
+    snippet = F.when(pos.isNotNull(), F.array_join(emph, " "))
+    return j.withColumn("snippet", snippet).drop("_toks")
