@@ -694,6 +694,84 @@ WITH {_TOK_SQL},
 """
 
 
+DOC_FIELDED_QUERIES: list[tuple[str, list[str]]] = [
+    ("f_mix", ["spark", "src3"]),
+    ("f_mix2", ["join", "hash", "src11"]),
+    ("f_text", ["window", "stream"]),
+]
+_FIELD_BOOSTS = {"text": 1.0, "source": 2.5}
+
+
+def q_index_fielded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field boosted search (Solr edismax ``qf=source^2.5 text``):
+    one index per field with per-field statistics (Lucene term =
+    (field, term)), per-field exact BM25, combined per doc as
+    Σ_f boost_f · BM25_f with a field-ordered deterministic fold. The
+    text field reuses the shared persisted index; the source field
+    (single-token, a title-like categorical) builds from the same doc
+    store."""
+    from spcht_spark.index.build import build_index
+    from spcht_spark.index.fielded import fielded_topk
+
+    idx_text = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    idx_src = build_index(
+        spark,
+        docs.select("doc_id", F.col("source").alias("content")),
+        tokenizer="ws",
+        shard_span=_INDEX_SHARD_SPAN,
+    )
+    qs = [(qid, ts, DOC_K + 5) for qid, ts in DOC_FIELDED_QUERIES]
+    out = fielded_topk(
+        spark, {"text": idx_text, "source": idx_src}, _FIELD_BOOSTS, qs
+    )
+    return _rerank_rounded(out)
+
+
+def _fielded_bm25_sql() -> str:
+    vals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in DOC_FIELDED_QUERIES for t in ts
+    )
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  tfs AS (SELECT doc_id, source AS term, 1::BIGINT AS tf FROM documents),
+  statss AS (SELECT count(*)::BIGINT AS n_docs, 1.0::DOUBLE AS avgdl
+             FROM documents),
+  dfts AS (SELECT term, count(*)::BIGINT AS df FROM tfs GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  sc_text AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) )
+           * {_FIELD_BOOSTS["text"]} AS w
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  sc_src AS (
+    SELECT q.query_id, tfs.doc_id,
+           sum( ln(1.0 + (s.n_docs - dfts.df + 0.5) / (dfts.df + 0.5))
+                * (tfs.tf * 2.2)
+                / (tfs.tf + 1.2 * (0.25 + 0.75 * (1.0 / s.avgdl))) )
+           * {_FIELD_BOOSTS["source"]} AS w
+    FROM q JOIN dfts USING (term) JOIN tfs USING (term)
+         CROSS JOIN statss s
+    GROUP BY q.query_id, tfs.doc_id),
+  u AS (SELECT * FROM sc_text UNION ALL SELECT * FROM sc_src),
+  g AS (SELECT query_id, doc_id, sum(w) AS raw FROM u GROUP BY query_id, doc_id),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM g)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
+"""
+
+
 # ------------------------------------------------- index-stats aggregates
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1531,6 +1609,7 @@ QUERIES = {
     "index_cursor_pages": q_index_cursor_pages,
     "index_mlt": q_index_mlt,
     "index_highlight": q_index_highlight,
+    "index_fielded_topk": q_index_fielded_topk,
     "term_stats": q_term_stats,
     "doclen_hist": q_doclen_hist,
     "regex_match_filter": q_regex_match_filter,
@@ -1579,6 +1658,7 @@ ORACLES = {
     "index_cursor_pages": _cursor_pages_sql(),
     "index_mlt": _mlt_sql(),
     "index_highlight": _highlight_sql(),
+    "index_fielded_topk": _fielded_bm25_sql(),
     "term_stats": Q_TERM_STATS_SQL,
     "doclen_hist": Q_DOCLEN_HIST_SQL,
     "regex_match_filter": Q_REGEX_MATCH_SQL,
