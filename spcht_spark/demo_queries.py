@@ -772,6 +772,180 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
 """
 
 
+DOC_PREFIX_QUERIES: list[tuple[str, str]] = [
+    ("p_s", "s"),
+    ("p_ha", "ha"),
+    ("p_wi", "wi"),
+    ("p_none", "zzz"),
+]
+_PREFIX_MAX_EXPANSIONS = 5
+
+
+def q_index_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix/wildcard queries (Lucene SCORING_BOOLEAN rewrite of
+    ``term*``): the prefix expands against the dictionary — the small
+    sorted index table, where a startswith predicate prunes like an
+    FST seek — capped at the top-5 terms by (df desc, term asc)
+    (Lucene maxExpansions), then scores as a disjunctive BM25 query
+    through the unchanged exact path over the persisted blocks."""
+    from spcht_spark.index.prefix import prefix_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    qs = [(qid, p, DOC_K + 5) for qid, p in DOC_PREFIX_QUERIES]
+    out = prefix_topk(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, qs,
+        max_expansions=_PREFIX_MAX_EXPANSIONS,
+    )
+    return _rerank_rounded(out)
+
+
+def _prefix_bm25_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{p}')" for qid, p in DOC_PREFIX_QUERIES)
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  p(query_id, prefix) AS (VALUES {vals}),
+  e AS (SELECT query_id, term FROM (
+          SELECT p.query_id, dft.term,
+                 row_number() OVER (PARTITION BY p.query_id
+                                    ORDER BY dft.df DESC, dft.term) AS rn
+          FROM p JOIN dft ON dft.term LIKE p.prefix || '%')
+        WHERE rn <= {_PREFIX_MAX_EXPANSIONS}),
+  scored AS (
+    SELECT e.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM e JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY e.query_id, tf.doc_id),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
+"""
+
+
+def q_index_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing (Solr collapse/group.field): each query's
+    result page keeps only the best-scoring doc per `source` group,
+    ranked by that head doc's score. Head selection windows over
+    (query, group) — group-sized partitions — and the head page uses
+    the shared salted top-k; ordering is the (round(score,6), doc_id)
+    determinism contract."""
+    from spcht_spark.index.collapse import collapse_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    qs = [(qid, ts, DOC_K) for qid, ts in DOC_QUERIES]
+    return collapse_topk(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats,
+        docs.select("doc_id", "source"), "source", qs,
+    )
+
+
+def _collapse_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  jg AS (SELECT s.query_id, s.doc_id, s.raw, d.source AS grp
+         FROM scored s JOIN documents d USING (doc_id)),
+  heads AS (SELECT query_id, doc_id, raw, grp FROM (
+              SELECT *, row_number() OVER (
+                        PARTITION BY query_id, grp
+                        ORDER BY round(raw, 6) DESC, doc_id) AS g_rn
+              FROM jg) WHERE g_rn = 1),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score, grp,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM heads)
+SELECT query_id, rank, doc_id, score, grp FROM ranked WHERE rank <= {DOC_K}
+"""
+
+
+def q_index_stats_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr stats component: count/min/max/sum/mean of n_chars over
+    ALL matching docs per query — the matching-doc set from the
+    term-pruned block scan, one partial-agg groupBy."""
+    from spcht_spark.index.facets import field_stats
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return field_stats(
+        spark, idx.blocks, DOC_QUERIES, docs.select("doc_id", "n_chars"), "n_chars"
+    )
+
+
+def _stats_field_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  q(query_id, term) AS (VALUES {vals}),
+  m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+  j AS (SELECT m.query_id, d.n_chars FROM m JOIN documents d USING (doc_id))
+SELECT query_id, count(*)::BIGINT AS n,
+       min(n_chars)::BIGINT AS min_v, max(n_chars)::BIGINT AS max_v,
+       sum(n_chars)::BIGINT AS sum_v,
+       (sum(n_chars)::DOUBLE / count(*)) AS avg_v
+FROM j GROUP BY query_id
+"""
+
+
+_SUGGEST_TERMS = ["spakr", "jion", "windw", "customr", "zzzzzzzz"]
+
+
+def q_index_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spellcheck suggestions (Solr spellcheck component): misspelled
+    terms corrected from the index's own dictionary, ranked (edit
+    distance asc, df desc, term asc), top-5 within distance 2.
+    Candidates are pruned by the length-difference bound before the
+    JVM levenshtein — the Spark twin of Lucene's FST + Levenshtein
+    automaton walk."""
+    from spcht_spark.index.suggest import suggest
+
+    idx = _persisted_index(spark, sf_dir)
+    return suggest(spark, idx.dictionary, _SUGGEST_TERMS, max_distance=2, top_n=5)
+
+
+def _suggest_sql() -> str:
+    vals = ", ".join(f"('{t}')" for t in sorted(set(_SUGGEST_TERMS)))
+    return f"""
+WITH {_TOK_SQL},
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(qterm) AS (VALUES {vals}),
+  cand AS (
+    SELECT q.qterm, dft.term, dft.df,
+           levenshtein(dft.term, q.qterm)::INTEGER AS distance
+    FROM dft CROSS JOIN q
+    WHERE abs(length(dft.term) - length(q.qterm)) <= 2),
+  ranked AS (
+    SELECT qterm, term AS suggestion, distance, df,
+           row_number() OVER (PARTITION BY qterm
+                              ORDER BY distance, df DESC, term)::INTEGER AS rank
+    FROM cand WHERE distance BETWEEN 1 AND 2)
+SELECT qterm, rank, suggestion, distance, df FROM ranked WHERE rank <= 5
+"""
+
+
 # ------------------------------------------------- index-stats aggregates
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1610,6 +1784,10 @@ QUERIES = {
     "index_mlt": q_index_mlt,
     "index_highlight": q_index_highlight,
     "index_fielded_topk": q_index_fielded_topk,
+    "index_prefix_topk": q_index_prefix_topk,
+    "index_collapse": q_index_collapse,
+    "index_stats_field": q_index_stats_field,
+    "index_suggest": q_index_suggest,
     "term_stats": q_term_stats,
     "doclen_hist": q_doclen_hist,
     "regex_match_filter": q_regex_match_filter,
@@ -1659,6 +1837,10 @@ ORACLES = {
     "index_mlt": _mlt_sql(),
     "index_highlight": _highlight_sql(),
     "index_fielded_topk": _fielded_bm25_sql(),
+    "index_prefix_topk": _prefix_bm25_sql(),
+    "index_collapse": _collapse_sql(),
+    "index_stats_field": _stats_field_sql(),
+    "index_suggest": _suggest_sql(),
     "term_stats": Q_TERM_STATS_SQL,
     "doclen_hist": Q_DOCLEN_HIST_SQL,
     "regex_match_filter": Q_REGEX_MATCH_SQL,

@@ -108,6 +108,31 @@ def facet_counts(
     return res
 
 
+def field_stats(
+    spark: SparkSession,
+    blocks: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    attrs: DataFrame,
+    field: str,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Solr stats component: count/min/max/sum/mean of a numeric field
+    over ALL docs matching each query — same matching-doc machinery as
+    faceting, one partial-agg groupBy. Returns (query_id, n, min_v,
+    max_v, sum_v, avg_v)."""
+    match = matching_docs(spark, blocks, queries)
+    if doc_filter is not None:
+        match = match.join(doc_filter.select("doc_id"), "doc_id", "semi")
+    j = match.join(attrs.select("doc_id", field), "doc_id")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(field).cast("long").alias("min_v"),
+        F.max(field).cast("long").alias("max_v"),
+        F.sum(field).cast("long").alias("sum_v"),
+        (F.sum(field).cast("double") / F.count(F.lit(1))).alias("avg_v"),
+    )
+
+
 def _referenced(attrs: DataFrame, col: Column) -> set[str]:
     """Columns of attrs a facet expression touches (for pruning the
     join input). Falls back to all columns when the expression string

@@ -1,0 +1,136 @@
+"""Prefix expansion, field collapsing, stats component, spellcheck —
+each vs a pure-Python oracle over the same corpus."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from spcht_spark.index.collapse import collapse_topk
+from spcht_spark.index.facets import field_stats
+from spcht_spark.index.prefix import expand_prefix, prefix_topk
+from spcht_spark.index.suggest import suggest
+from spcht_spark.oracle import idf as idf_py
+from spcht_spark.oracle import term_score, tokenize_py
+
+
+def _corpus_stats(pdf):
+    toks = {int(r.doc_id): Counter(tokenize_py(r.content)) for r in pdf.itertuples()}
+    dls = {d: sum(c.values()) for d, c in toks.items()}
+    n = len(toks)
+    avgdl = sum(dls.values()) / n
+    dfs: Counter = Counter()
+    for c in toks.values():
+        dfs.update(c.keys())
+    return toks, dls, n, avgdl, dfs
+
+
+def _py_or_topk(pdf, terms, k):
+    toks, dls, n, avgdl, dfs = _corpus_stats(pdf)
+    scored = []
+    for d, c in toks.items():
+        present = sorted(t for t in set(terms) if t in c)
+        if not present:
+            continue
+        s = sum(term_score(c[t], dls[d], avgdl, idf_py(n, dfs[t])) for t in present)
+        scored.append((d, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
+def test_expand_prefix_cap_and_order(spark, small_corpus_pd, small_index):
+    _, _, _, _, dfs = _corpus_stats(small_corpus_pd)
+    got = expand_prefix(small_index.dictionary, "handler", max_expansions=6)
+    want = sorted(
+        (t for t in dfs if t.startswith("handler")),
+        key=lambda t: (-dfs[t], t),
+    )[:6]
+    assert got == want
+
+
+def test_prefix_topk_matches_expanded_or(spark, small_corpus_pd, small_index):
+    got = prefix_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        [("pfx", "ret", 10), ("pfx_none", "qqqq", 10)],
+        max_expansions=6,
+    ).collect()
+    terms = expand_prefix(small_index.dictionary, "ret", max_expansions=6)
+    exp = _py_or_topk(small_corpus_pd, terms, 10)
+    by_rank = [
+        (r["doc_id"], r["score"])
+        for r in sorted(got, key=lambda r: r["rank"])
+        if r["query_id"] == "pfx"
+    ]
+    assert by_rank == exp
+    assert not [r for r in got if r["query_id"] == "pfx_none"]
+
+
+def test_collapse_one_head_per_group(spark, small_corpus_pd, small_corpus, small_index):
+    qs = [("c1", ["return", "if"], 8)]
+    got = collapse_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        small_corpus.select("doc_id", "lang"), "lang", qs,
+    ).collect()
+    langs = {int(r.doc_id): r.lang for r in small_corpus_pd.itertuples()}
+    # one row per group, heads are each group's best (round6, doc) doc
+    grps = [r["grp"] for r in got]
+    assert len(grps) == len(set(grps))
+    full = _py_or_topk(small_corpus_pd, ["return", "if"], 10**9)
+    best: dict[str, tuple] = {}
+    for d, s in sorted(full, key=lambda x: (-round(x[1], 6), x[0])):
+        g = langs[d]
+        if g not in best:
+            best[g] = (d, s)
+    heads = [
+        (d, round(s, 4))
+        for d, s in sorted(best.values(), key=lambda x: (-round(x[1], 6), x[0]))[:8]
+    ]
+    assert [(r["doc_id"], r["score"]) for r in sorted(got, key=lambda r: r["rank"])] == heads
+
+
+def test_field_stats_matches_python(spark, small_corpus_pd, small_corpus, small_index):
+    import pyspark.sql.functions as F
+
+    qs = [("s1", ["return", "if"])]
+    attrs = small_corpus.select("doc_id", F.length("content").alias("n_chars"))
+    got = field_stats(spark, small_index.blocks, qs, attrs, "n_chars").collect()
+    toks = {int(r.doc_id): set(tokenize_py(r.content)) for r in small_corpus_pd.itertuples()}
+    lens = {int(r.doc_id): len(r.content) for r in small_corpus_pd.itertuples()}
+    m = [lens[d] for d, s in toks.items() if s & {"return", "if"}]
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n"], r["min_v"], r["max_v"], r["sum_v"]) == (
+        len(m), min(m), max(m), sum(m)
+    )
+    assert abs(r["avg_v"] - sum(m) / len(m)) < 1e-9
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_suggest_matches_python(spark, small_corpus_pd, small_index):
+    _, _, _, _, dfs = _corpus_stats(small_corpus_pd)
+    got = suggest(
+        spark, small_index.dictionary, ["retrun", "whlie", "zz"], max_distance=2, top_n=4
+    ).collect()
+    by_q: dict[str, list] = {}
+    for r in sorted(got, key=lambda r: (r["qterm"], r["rank"])):
+        by_q.setdefault(r["qterm"], []).append(
+            (r["suggestion"], r["distance"], r["df"])
+        )
+    for q in ["retrun", "whlie", "zz"]:
+        cands = [
+            (t, _lev(t, q), dfs[t])
+            for t in dfs
+            if 0 < _lev(t, q) <= 2
+        ]
+        cands.sort(key=lambda x: (x[1], -x[2], x[0]))
+        assert by_q.get(q, []) == cands[:4], q
