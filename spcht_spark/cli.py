@@ -10,6 +10,8 @@ Verbs:
   cleanup-order      drop intermediates, keep finals (--CleanUp parity)
   check-order        metrics rollup            (--CheckWorkOrder parity)
   query              top-k BM25 over a committed index (exact or wand)
+  search             one Solr-style request over a committed index:
+                     boolean q + fq/fl/facets/stats/highlight components
   check-descriptor   validate a descriptor     (--CheckSpcht parity)
   compile-descriptor resolve $refs + print     (--CompileSpcht parity)
   descriptor-fields  input fields a descriptor reads (--CheckFields parity)
@@ -80,6 +82,21 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("-k", type=int, default=10)
     sp.add_argument("--engine", choices=["exact", "wand"], default="wand")
     sp.add_argument("--mode", choices=["or", "and"], default="or")
+
+    sp = sub.add_parser("search", help="one Solr-style request: boolean q "
+                        "+ fl/facets/stats/highlight components")
+    sp.add_argument("workdir")
+    sp.add_argument("q", help='boolean query string, e.g. "(a AND b) OR -c"')
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--doc-store", default=None,
+                    help="parquet with (doc_id, content, ...) stored fields; "
+                         "required for --fl/--facet/--stats-field/--hl")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--content-col", default="content")
+    sp.add_argument("--fl", nargs="*", default=[])
+    sp.add_argument("--facet", nargs="*", default=[])
+    sp.add_argument("--stats-field", default=None)
+    sp.add_argument("--hl", action="store_true")
 
     for verb in ("check-descriptor", "compile-descriptor", "descriptor-fields"):
         sp = sub.add_parser(verb)
@@ -185,6 +202,45 @@ def main(argv: list[str] | None = None) -> int:
 
             write_table(triples, args.out)
         print(f"wrote {args.out}")
+    elif args.verb == "search":
+        from pyspark.sql import functions as F
+
+        from spcht_spark.index.search import SearchRequest, search
+
+        idx = load_index(spark, args.workdir)
+        needs_store = bool(args.fl or args.facet or args.stats_field or args.hl)
+        if needs_store and not args.doc_store:
+            print("error: --fl/--facet/--stats-field/--hl need --doc-store",
+                  file=sys.stderr)
+            if owns_session:
+                spark.stop()
+            return 2
+        store = (
+            spark.read.parquet(args.doc_store)
+            if args.doc_store
+            else spark.createDataFrame(
+                [], schema=f"{args.id_col} long, {args.content_col} string"
+            )
+        )
+        resp = search(
+            spark, idx, store,
+            SearchRequest(
+                q=args.q, k=args.k,
+                fl=args.fl,
+                facets={f: F.col(f) for f in args.facet} or None,
+                stats_field=args.stats_field,
+                hl=args.hl,
+            ),
+            id_col=args.id_col, content_col=args.content_col,
+        )
+        for r in resp.hits.orderBy("rank").collect():
+            print(json.dumps(r.asDict(), default=str))
+        if resp.facets is not None:
+            for r in resp.facets.orderBy("field", "value").collect():
+                print(json.dumps({"facet": r.asDict()}, default=str))
+        if resp.stats is not None:
+            for r in resp.stats.collect():
+                print(json.dumps({"stats": r.asDict()}, default=str))
     elif args.verb == "query":
         idx = load_index(spark, args.workdir)
         q = [("q", args.terms, args.k)]

@@ -946,6 +946,91 @@ SELECT qterm, rank, suggestion, distance, df FROM ranked WHERE rank <= 5
 """
 
 
+_SEARCH_Q = "spark AND join OR window"  # == (spark AND join) OR window
+_SEARCH_TERMS = ["join", "spark", "window"]
+
+
+def q_index_search_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One combined Solr-style request through the search facade
+    (spcht_spark.index.search): boolean q + fq (lang ∈ {en, de}) +
+    fl=lang + highlighting, all from ONE parsed query and ONE
+    admissible-doc pass — the engine twin of the single request dict
+    the reference submits (WorkOrder.py:693-707)."""
+    from spcht_spark.index.search import SearchRequest, search
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    fq = docs.filter(F.col("lang").isin("en", "de")).select("doc_id")
+    resp = search(
+        spark, idx, docs.withColumnRenamed("text", "content"),
+        SearchRequest(
+            q=_SEARCH_Q, k=DOC_K + 5, fq=fq, fl=["lang"], hl=True, hl_window=3
+        ),
+        query_id="sr0",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        resp.hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOC_K)
+        .select(
+            "query_id", F.col("rk").alias("rank"), "doc_id",
+            F.round("score", 4).alias("score"), "lang", "snippet",
+        )
+    )
+
+
+def _search_request_sql() -> str:
+    from spcht_spark.index.boolean import ast_to_duckdb, parse_query
+
+    pred = ast_to_duckdb(parse_query(_SEARCH_Q))
+    vals = ", ".join(f"('sr0', '{t}')" for t in _SEARCH_TERMS)
+    leasts = ", ".join(
+        f"coalesce(nullif(list_position(tk, '{t}'), 0), 1000000000)"
+        for t in _SEARCH_TERMS
+    )
+    termlits = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    w = 3
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  fq AS (SELECT doc_id FROM documents WHERE lang IN ('en', 'de')),
+  g AS (
+    SELECT q.query_id, tf.doc_id,
+           list(DISTINCT tf.term) AS terms,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  f AS (SELECT query_id, doc_id, raw FROM g
+        WHERE {pred} AND doc_id IN (SELECT doc_id FROM fq)),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM f),
+  tks AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+  h AS (SELECT r.query_id, r.rank, r.doc_id, r.score, t.lang, t.tk,
+               least({leasts}) AS p
+        FROM ranked r JOIN tks t USING (doc_id) WHERE r.rank <= {DOC_K})
+SELECT query_id, rank, doc_id, score, lang,
+       CASE WHEN p >= 1000000000 THEN NULL ELSE
+         array_to_string(list_transform(
+           tk[greatest(1, p - {w}):greatest(1, p - {w}) + {2 * w}],
+           t -> CASE WHEN t IN ({termlits})
+                     THEN '<em>' || t || '</em>' ELSE t END), ' ')
+       END AS snippet
+FROM h
+"""
+
+
 # ------------------------------------------------- index-stats aggregates
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1788,6 +1873,7 @@ QUERIES = {
     "index_collapse": q_index_collapse,
     "index_stats_field": q_index_stats_field,
     "index_suggest": q_index_suggest,
+    "index_search_request": q_index_search_request,
     "term_stats": q_term_stats,
     "doclen_hist": q_doclen_hist,
     "regex_match_filter": q_regex_match_filter,
@@ -1841,6 +1927,7 @@ ORACLES = {
     "index_collapse": _collapse_sql(),
     "index_stats_field": _stats_field_sql(),
     "index_suggest": _suggest_sql(),
+    "index_search_request": _search_request_sql(),
     "term_stats": Q_TERM_STATS_SQL,
     "doclen_hist": Q_DOCLEN_HIST_SQL,
     "regex_match_filter": Q_REGEX_MATCH_SQL,

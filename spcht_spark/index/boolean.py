@@ -30,12 +30,7 @@ import re
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spcht_spark.index.query import (
-    TOPK_SCHEMA,
-    decode_blocks,
-    query_idfs,
-    topk,
-)
+from spcht_spark.index.query import decode_blocks, query_idfs, topk
 from spcht_spark.oracle import B, K1
 
 Ast = tuple
@@ -177,29 +172,34 @@ def ast_to_duckdb(ast: Ast, terms_expr: str = "terms") -> str:
     return "(" + op.join(ast_to_duckdb(a, terms_expr) for a in ast[1]) + ")"
 
 
-def boolean_topk(
+def boolean_matches(
     spark: SparkSession,
     blocks: DataFrame,
     doclens: DataFrame,
     dictionary: DataFrame,
     stats: DataFrame,
     queries: list[tuple[str, str, int]],
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
-    """Top-k for a batch of boolean query strings.
+    """ALL admissible (query_id, doc_id, score) rows of a batch of
+    boolean query strings — the full matching set, pre-top-k (what
+    facet/stats components count over).
 
     Plan: ``term IN (all terms)`` pruned block scan → Arrow decode →
     doclens join → per-(query, doc) groupBy collecting the term-set and
     the term-ordered BM25 sum over positive terms (negated terms ride
     along with contribution 0.0 — they exist only to prove/disprove the
-    predicate) → AST predicate (pure Catalyst, dispatched per query) →
-    shared salted top-k. Scoring stats stay corpus-wide, like fq."""
+    predicate) → AST predicate (pure Catalyst, dispatched per query).
+    Scoring stats stay corpus-wide, like fq."""
     parsed = [(qid, parse_query(qs), k) for qid, qs, k in queries]
     stats_row = stats.collect()[0]
     avgdl = float(stats_row["avgdl"])
     all_terms = sorted({t for _, ast, _ in parsed for t in ast_terms(ast)})
     idfs = query_idfs(dictionary, stats_row, all_terms)
     if not idfs:
-        return spark.createDataFrame([], schema=TOPK_SCHEMA)
+        return spark.createDataFrame(
+            [], schema="query_id string, doc_id long, score double"
+        )
 
     qrows = [
         (qid, t, t in positive_terms(ast))
@@ -246,4 +246,26 @@ def boolean_topk(
             F.col("query_id") == qid, ast_predicate(ast, F.col("present"))
         ).otherwise(pred)
     admissible = g.filter(pred).drop("present")
-    return topk(admissible, {qid: k for qid, _, k in parsed})
+    if doc_filter is not None:
+        # Solr fq semantics: restrict candidates AFTER scoring — the
+        # filter never changes idf/avgdl. Semi-join on candidate rows
+        # (query_id, doc_id, score), never postings.
+        admissible = admissible.join(doc_filter.select("doc_id"), "doc_id", "semi")
+    return admissible
+
+
+def boolean_topk(
+    spark: SparkSession,
+    blocks: DataFrame,
+    doclens: DataFrame,
+    dictionary: DataFrame,
+    stats: DataFrame,
+    queries: list[tuple[str, str, int]],
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k for a batch of boolean query strings: the full matching
+    set from :func:`boolean_matches` through the shared salted top-k."""
+    matches = boolean_matches(
+        spark, blocks, doclens, dictionary, stats, queries, doc_filter=doc_filter
+    )
+    return topk(matches, {qid: k for qid, _, k in queries})

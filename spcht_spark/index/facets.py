@@ -71,6 +71,7 @@ def facet_counts(
     attrs: DataFrame,
     facets: dict[str, Column],
     doc_filter: DataFrame | None = None,
+    match: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, field, value, n) — per-query facet counts.
 
@@ -79,11 +80,18 @@ def facet_counts(
     expression like ``F.floor(F.col("n_chars")/100)*100`` for
     ``facet.range``). ``doc_filter`` is Solr fq: a (doc_id) DataFrame
     restricting the countable docs (semi-join on ids — narrow).
+    ``match`` overrides the default disjunctive matching set with a
+    caller-computed (query_id, doc_id) frame — e.g. the admissible set
+    of a boolean query (spcht_spark.index.boolean.boolean_matches), so
+    facets count docs matching the WHOLE q, Solr semantics.
 
     One matching-docs pass is shared by every facet (the attrs join
     happens once); per-facet counting is a partial-agg groupBy each.
     """
-    match = matching_docs(spark, blocks, queries)
+    if match is None:
+        match = matching_docs(spark, blocks, queries)
+    else:
+        match = match.select("query_id", "doc_id")
     if doc_filter is not None:
         match = match.join(doc_filter.select("doc_id"), "doc_id", "semi")
     need = ["doc_id"] + sorted(
@@ -115,12 +123,17 @@ def field_stats(
     attrs: DataFrame,
     field: str,
     doc_filter: DataFrame | None = None,
+    match: DataFrame | None = None,
 ) -> DataFrame:
     """Solr stats component: count/min/max/sum/mean of a numeric field
     over ALL docs matching each query — same matching-doc machinery as
-    faceting, one partial-agg groupBy. Returns (query_id, n, min_v,
-    max_v, sum_v, avg_v)."""
-    match = matching_docs(spark, blocks, queries)
+    faceting (``match`` overrides it like in :func:`facet_counts`),
+    one partial-agg groupBy. Returns (query_id, n, min_v, max_v,
+    sum_v, avg_v)."""
+    if match is None:
+        match = matching_docs(spark, blocks, queries)
+    else:
+        match = match.select("query_id", "doc_id")
     if doc_filter is not None:
         match = match.join(doc_filter.select("doc_id"), "doc_id", "semi")
     j = match.join(attrs.select("doc_id", field), "doc_id")

@@ -1,0 +1,114 @@
+"""One-call Solr-style request handler over the index.
+
+The reference's every retrieval interaction is ONE Solr request
+carrying several components at once — ``q`` + ``fq`` + ``fl`` (+
+facets/stats/highlighting on standard cores):
+/root/reference/Spcht/Core/WorkOrder.py:693-707 builds exactly such a
+request dict. This facade is the engine-side twin: a single
+:class:`SearchRequest` runs the boolean/BM25 query once, applies the
+filter query, fetches stored fields for the result page, and attaches
+the optional facet/stats/highlight components — all computed from the
+SAME admissible-doc set (one parsed query, one match pass, shared via
+a lazy localCheckpoint), exactly like one Solr request reusing one
+DocSet across its components.
+
+Component costs stay what they are standalone: the hit page is top-k
+over candidates; facets/stats aggregate the (query, doc) match rows —
+postings-bounded, never a corpus scan; stored-field fetch broadcasts
+the k·|queries| hit rows against the doc store.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spcht_spark.index.boolean import ast_terms, boolean_matches, parse_query
+from spcht_spark.index.build import IndexTables
+from spcht_spark.index.facets import facet_counts, field_stats
+from spcht_spark.index.highlight import highlight
+from spcht_spark.index.query import topk
+
+
+@dataclass
+class SearchRequest:
+    """Solr request parameters (the subset the reference exercises,
+    plus the standard components)."""
+
+    q: str                                   # boolean / free-form query
+    k: int = 10                              # rows
+    fq: DataFrame | None = None              # filter query: (doc_id) frame
+    fl: list[str] = field(default_factory=list)  # stored fields to return
+    facets: dict[str, Column] | None = None  # facet.field / facet.range
+    stats_field: str | None = None           # stats.field
+    hl: bool = False                         # highlight
+    hl_window: int = 4
+
+
+@dataclass
+class SearchResponse:
+    hits: DataFrame                          # rank page (+ fl, + snippet)
+    facets: DataFrame | None = None
+    stats: DataFrame | None = None
+
+
+def search(
+    spark: SparkSession,
+    index: IndexTables,
+    doc_store: DataFrame,
+    request: SearchRequest,
+    query_id: str = "q0",
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> SearchResponse:
+    """Execute one request. ``doc_store`` provides stored fields (fl),
+    highlight content, and facet/stats attributes."""
+    ast = parse_query(request.q)
+    terms = sorted(ast_terms(ast))
+    attrs = (
+        doc_store
+        if id_col == "doc_id"
+        else doc_store.withColumnRenamed(id_col, "doc_id")
+    )
+
+    matches = boolean_matches(
+        spark,
+        index.blocks,
+        index.doclens,
+        index.dictionary,
+        index.stats,
+        [(query_id, request.q, request.k)],
+        doc_filter=request.fq,
+    )
+    n_components = 1 + bool(request.facets) + bool(request.stats_field)
+    if n_components > 1:
+        # one match pass feeds hits + facets + stats (Solr's shared DocSet)
+        matches = matches.localCheckpoint(eager=False)
+
+    hits = topk(matches, {query_id: request.k})
+    if request.fl:
+        stored = attrs.select("doc_id", *[F.col(c) for c in request.fl])
+        hits = F.broadcast(hits).join(stored, "doc_id").select(
+            "query_id", "rank", "doc_id", "score", *request.fl
+        )
+    if request.hl:
+        hits = highlight(
+            hits, doc_store, [(query_id, terms)], window=request.hl_window,
+            id_col=id_col, content_col=content_col,
+        )
+
+    facets_df = None
+    if request.facets:
+        facets_df = facet_counts(
+            spark, index.blocks, [(query_id, terms)], attrs,
+            request.facets, match=matches,
+        )
+    stats_df = None
+    if request.stats_field:
+        stats_df = field_stats(
+            spark, index.blocks, [(query_id, terms)], attrs,
+            request.stats_field, match=matches,
+        )
+    return SearchResponse(hits=hits, facets=facets_df, stats=stats_df)

@@ -1,0 +1,79 @@
+"""Search facade: one request, consistent components."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from spcht_spark.index.boolean import eval_ast, parse_query
+from spcht_spark.index.search import SearchRequest, search
+from spcht_spark.oracle import tokenize_py
+
+Q = "(return AND if) OR -import AND while"
+
+
+def _match_set(pdf, q, allowed=None):
+    ast = parse_query(q)
+    out = set()
+    for r in pdf.itertuples():
+        d = int(r.doc_id)
+        if allowed is not None and d not in allowed:
+            continue
+        present = frozenset(tokenize_py(r.content))
+        # restrict to query terms like the engine's term-set grouping
+        from spcht_spark.index.boolean import ast_terms
+
+        present = frozenset(t for t in ast_terms(ast) if t in present)
+        if present and eval_ast(ast, present):
+            out.add(d)
+    return out
+
+
+def test_components_share_the_boolean_match_set(
+    spark, small_corpus_pd, small_corpus, small_index
+):
+    allowed = {
+        int(r.doc_id) for r in small_corpus_pd.itertuples() if int(r.doc_id) % 2 == 0
+    }
+    fq = small_corpus.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    resp = search(
+        spark, small_index, small_corpus,
+        SearchRequest(
+            q=Q, k=7, fq=fq, fl=["lang"],
+            facets={"lang": F.col("lang")},
+            stats_field="n_lines" if "n_lines" in small_corpus.columns else None,
+            hl=True, hl_window=2,
+        ),
+    )
+    expected = _match_set(small_corpus_pd, Q, allowed=allowed)
+    hits = resp.hits.collect()
+    assert 0 < len(hits) <= 7
+    assert {r["doc_id"] for r in hits} <= expected
+    # fl joined, snippet attached and wraps a query term
+    for r in hits:
+        assert r["lang"] is not None
+        assert r["snippet"] is None or "<em>" in r["snippet"]
+    # facet counts cover exactly the boolean ∧ fq match set
+    langs = {int(r.doc_id): r.lang for r in small_corpus_pd.itertuples()}
+    exp_counts = Counter(langs[d] for d in expected)
+    got_counts = {r["value"]: r["n"] for r in resp.facets.collect()}
+    assert got_counts == dict(exp_counts)
+
+
+def test_cli_search_verb(spark, tmp_path):
+    from spcht_spark.cli import main as cli_main
+    from spcht_spark.corpus import generate_corpus
+
+    wd = str(tmp_path / "order")
+    corpus_path = str(tmp_path / "corpus.parquet")
+    generate_corpus(spark, n_docs=120, partitions=4).write.parquet(corpus_path)
+    rc = cli_main([
+        "full-order", wd, "--corpus-parquet", corpus_path, "--shard-span", "64",
+    ])
+    assert rc == 0
+    rc = cli_main([
+        "search", wd, "return AND if", "-k", "5",
+        "--doc-store", corpus_path, "--fl", "lang", "--facet", "lang", "--hl",
+    ])
+    assert rc == 0
