@@ -43,6 +43,12 @@ HEADLINE = [
     "exact_dedup",
     "quality_score",
     "cosine_topk",
+    # Solr request-surface over the shared persisted index (SURVEY §2.11).
+    # First call per process pays the committed-index open (or, on a cold
+    # cache, one build shared by all of them); the warmup below absorbs it.
+    "index_boolean_topk",
+    "index_facets",
+    "index_search_request",
 ]
 
 CORPUS_DOCS = int(os.environ.get("SPCHT_BENCH_CORPUS_DOCS", "4000"))
@@ -67,6 +73,8 @@ def main() -> None:
         spark, warm_idx.blocks, warm_idx.dictionary, warm_idx.stats,
         REFERENCE_QUERIES[:2],
     ).collect()
+    # warm the shared persisted driver index (build once on a cold cache)
+    demo_queries._persisted_index(spark, sf_dir)
 
     n_runs = int(os.environ.get("SPCHT_BENCH_RUNS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
