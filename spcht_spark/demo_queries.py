@@ -1031,6 +1031,79 @@ FROM h
 """
 
 
+DOC_ATTRQ_QUERIES: list[tuple[str, str]] = [
+    ("aq_range", "join AND n_chars:[300 TO *]"),
+    ("aq_eq", "(window OR stream) AND lang:en"),
+    ("aq_negattr", "hash AND NOT lang:zh"),
+    ("aq_band", "spark AND n_chars:[200 TO 400]"),
+]
+
+
+def q_index_attr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-``q`` metadata predicates (the reference's own pattern: it
+    ANDs ``last_indexed:[t TO *]`` into the Solr query string,
+    WorkOrder.py:702-707): ``field:value`` / ``field:[lo TO hi]``
+    clauses parse into the boolean AST, candidates left-join the
+    attribute table on doc_id (candidate rows only), and the clauses
+    evaluate as Catalyst predicates — never scoring, exactly like
+    Lucene constant-score filter clauses at boost 0."""
+    from spcht_spark.index.boolean import boolean_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    qs = [(qid, s, DOC_K + 5) for qid, s in DOC_ATTRQ_QUERIES]
+    out = boolean_topk(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, qs,
+        attrs=docs.select("doc_id", "lang", "n_chars"),
+    )
+    return _rerank_rounded(out)
+
+
+def _attr_query_sql() -> str:
+    from spcht_spark.index.boolean import (
+        ast_terms, ast_to_duckdb, parse_query, positive_terms,
+    )
+
+    parsed = [(qid, parse_query(s)) for qid, s in DOC_ATTRQ_QUERIES]
+    vals = ", ".join(
+        f"('{qid}', '{t}', {str(t in positive_terms(ast)).upper()})"
+        for qid, ast in parsed
+        for t in sorted(ast_terms(ast))
+    )
+    pred = " OR ".join(
+        f"(query_id = '{qid}' AND {ast_to_duckdb(ast, attr_prefix='d.')})"
+        for qid, ast in parsed
+    )
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term, is_pos) AS (VALUES {vals}),
+  g AS (
+    SELECT q.query_id, tf.doc_id,
+           list(DISTINCT tf.term) AS terms,
+           sum(CASE WHEN q.is_pos THEN
+                 ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+               ELSE 0.0 END) AS raw
+    FROM q JOIN tf USING (term) JOIN dft USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  f AS (SELECT g.query_id, g.doc_id, g.raw
+        FROM g JOIN documents d ON g.doc_id = d.doc_id
+        WHERE {pred}),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM f)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
+"""
+
+
 # ------------------------------------------------- index-stats aggregates
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1874,6 +1947,7 @@ QUERIES = {
     "index_stats_field": q_index_stats_field,
     "index_suggest": q_index_suggest,
     "index_search_request": q_index_search_request,
+    "index_attr_query": q_index_attr_query,
     "term_stats": q_term_stats,
     "doclen_hist": q_doclen_hist,
     "regex_match_filter": q_regex_match_filter,
@@ -1928,6 +2002,7 @@ ORACLES = {
     "index_stats_field": _stats_field_sql(),
     "index_suggest": _suggest_sql(),
     "index_search_request": _search_request_sql(),
+    "index_attr_query": _attr_query_sql(),
     "term_stats": Q_TERM_STATS_SQL,
     "doclen_hist": Q_DOCLEN_HIST_SQL,
     "regex_match_filter": Q_REGEX_MATCH_SQL,

@@ -6,8 +6,15 @@ WorkOrder.py:693-707 builds exactly such conjunctions). This module
 parses that surface and answers it from the posting blocks:
 
 * ``parse_query`` — recursive-descent parser → tiny AST
-  (('term', t) | ('and', [..]) | ('or', [..]) | ('not', x)).
+  (('term', t) | ('and', [..]) | ('or', [..]) | ('not', x) |
+  ('eq', field, value) | ('range', field, lo, hi)).
   Precedence NOT > AND > OR; adjacency is implicit OR (Solr default op).
+  ``field:value`` and ``field:[lo TO hi]`` clauses are the in-``q``
+  metadata predicates Solr mixes with fulltext — the reference ANDs
+  ``last_indexed:[t TO *]`` into its query exactly like this
+  (WorkOrder.py:702-707). ``*`` opens a range end; attr clauses match
+  against a doc-attribute table (eq as string, range as double) and
+  contribute no score (constant-score-0 filter clauses).
 * ``boolean_topk`` — one term-pruned block scan for ALL terms of ALL
   queries (including negated ones: their postings are needed to prove a
   doc inadmissible), one groupBy (query, doc) building the doc's
@@ -35,7 +42,10 @@ from spcht_spark.oracle import B, K1
 
 Ast = tuple
 
-_TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")
+# range clauses carry spaces inside the brackets — lex them as one token
+_TOKEN_RE = re.compile(r"\(|\)|[^\s()]+:\[[^\]]*\]|[^\s()]+")
+_ATTR_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_.]*):(.+)$")
+_RANGE_RE = re.compile(r"^\[\s*(\S+)\s+TO\s+(\S+)\s*\]$", re.IGNORECASE)
 
 
 class QueryParseError(ValueError):
@@ -44,6 +54,26 @@ class QueryParseError(ValueError):
 
 def _lex(q: str) -> list[str]:
     return _TOKEN_RE.findall(q)
+
+
+def _attr_clause(field_name: str, val: str, q: str) -> Ast:
+    if val.startswith("["):
+        m = _RANGE_RE.match(val)
+        if not m:
+            raise QueryParseError(f"malformed range {val!r} in {q!r}")
+
+        def bound(s: str) -> float | None:
+            if s == "*":
+                return None
+            try:
+                return float(s)
+            except ValueError:
+                raise QueryParseError(
+                    f"non-numeric range bound {s!r} in {q!r}"
+                ) from None
+
+        return ("range", field_name, bound(m.group(1)), bound(m.group(2)))
+    return ("eq", field_name, val)
 
 
 def parse_query(q: str) -> Ast:
@@ -90,9 +120,13 @@ def parse_query(q: str) -> Ast:
         if t.upper() == "NOT":
             take()
             return ("not", parse_unary())
-        if t.startswith("-") and len(t) > 1:  # Lucene '-term'
+        if t.startswith("-") and len(t) > 1:  # Lucene '-clause'
             take()
-            return ("not", ("term", t[1:]))
+            body = t[1:]
+            m = _ATTR_RE.match(body)
+            if m:
+                return ("not", _attr_clause(m.group(1), m.group(2), q))
+            return ("not", ("term", body))
         if t == "(":
             take()
             inner = parse_or()
@@ -102,26 +136,66 @@ def parse_query(q: str) -> Ast:
             return inner
         if t == ")" or t.upper() in ("AND", "OR"):
             raise QueryParseError(f"unexpected {t!r} in {q!r}")
+        m = _ATTR_RE.match(t)
+        if m:
+            take()
+            return _attr_clause(m.group(1), m.group(2), q)
         return ("term", take().lower())
 
     ast = parse_or()
     if pos != len(toks):
         raise QueryParseError(f"trailing tokens in {q!r}")
-    if eval_ast(ast, frozenset()):
+    if _satisfiable_without_terms(ast):
         raise QueryParseError(
-            f"pure-negative query {q!r} matches docs containing none of its "
-            "terms — unanswerable from postings (Lucene top-level MUST_NOT rule)"
+            f"query {q!r} can match docs containing none of its fulltext "
+            "terms — unanswerable from postings (Lucene top-level MUST_NOT "
+            "rule; attribute clauses alone cannot drive retrieval here)"
         )
     return ast
+
+
+def _attr_clauses(ast: Ast) -> list[Ast]:
+    kind = ast[0]
+    if kind in ("eq", "range"):
+        return [ast]
+    if kind == "term":
+        return []
+    if kind == "not":
+        return _attr_clauses(ast[1])
+    out: list[Ast] = []
+    for a in ast[1]:
+        out.extend(_attr_clauses(a))
+    return out
+
+
+def _satisfiable_without_terms(ast: Ast) -> bool:
+    """True if SOME truth assignment of the attribute clauses makes the
+    query match a doc containing none of its fulltext terms — such docs
+    never reach the postings-driven candidate set, so the query must be
+    rejected. Attribute clauses are treated as free booleans (2^n
+    enumeration; n is query-sized)."""
+    clauses = sorted({c for c in _attr_clauses(ast)}, key=repr)
+    for mask in range(1 << len(clauses)):
+        assign = {c: bool(mask >> i & 1) for i, c in enumerate(clauses)}
+        if eval_ast(ast, frozenset(), _attr=lambda c: assign[c]):
+            return True
+    return False
 
 
 def ast_terms(ast: Ast) -> set[str]:
     kind = ast[0]
     if kind == "term":
         return {ast[1]}
+    if kind in ("eq", "range"):
+        return set()
     if kind == "not":
         return ast_terms(ast[1])
     return set().union(*(ast_terms(a) for a in ast[1]))
+
+
+def ast_attr_fields(ast: Ast) -> set[str]:
+    """Attribute-table columns the query's eq/range clauses touch."""
+    return {c[1] for c in _attr_clauses(ast)}
 
 
 def positive_terms(ast: Ast, neg: bool = False) -> set[str]:
@@ -129,27 +203,68 @@ def positive_terms(ast: Ast, neg: bool = False) -> set[str]:
     kind = ast[0]
     if kind == "term":
         return set() if neg else {ast[1]}
+    if kind in ("eq", "range"):
+        return set()
     if kind == "not":
         return positive_terms(ast[1], not neg)
     return set().union(*(positive_terms(a, neg) for a in ast[1]))
 
 
-def eval_ast(ast: Ast, present: frozenset[str]) -> bool:
+def _eval_attr(ast: Ast, attrs: dict | None) -> bool:
+    if attrs is None:
+        return False  # no attribute row available
+    if ast[0] == "eq":
+        v = attrs.get(ast[1])
+        return v is not None and str(v) == ast[2]
+    _, fld, lo, hi = ast
+    v = attrs.get(fld)
+    if v is None:
+        return False
+    x = float(v)
+    return (lo is None or x >= lo) and (hi is None or x <= hi)
+
+
+def eval_ast(
+    ast: Ast,
+    present: frozenset[str],
+    attrs: dict | None = None,
+    _attr=None,
+) -> bool:
+    """Reference evaluator. ``attrs`` maps attribute field → value for
+    the doc under test (missing field → clause False); ``_attr`` is an
+    internal hook used by the satisfiability check."""
     kind = ast[0]
     if kind == "term":
         return ast[1] in present
+    if kind in ("eq", "range"):
+        return _attr(ast) if _attr is not None else _eval_attr(ast, attrs)
     if kind == "not":
-        return not eval_ast(ast[1], present)
+        return not eval_ast(ast[1], present, attrs, _attr)
     if kind == "and":
-        return all(eval_ast(a, present) for a in ast[1])
-    return any(eval_ast(a, present) for a in ast[1])
+        return all(eval_ast(a, present, attrs, _attr) for a in ast[1])
+    return any(eval_ast(a, present, attrs, _attr) for a in ast[1])
 
 
 def ast_predicate(ast: Ast, terms_col: Column) -> Column:
-    """AST → Catalyst boolean over an array-of-terms column."""
+    """AST → Catalyst boolean over an array-of-terms column plus (for
+    eq/range clauses) the joined attribute columns. NULL attributes
+    make the clause NULL, which a filter treats as False (left-join
+    three-valued logic — a doc absent from the attr table satisfies no
+    attribute clause)."""
     kind = ast[0]
     if kind == "term":
         return F.array_contains(terms_col, ast[1])
+    if kind == "eq":
+        return F.col(ast[1]).cast("string") == ast[2]
+    if kind == "range":
+        _, fld, lo, hi = ast
+        c = F.col(fld).cast("double")
+        out = F.lit(True)
+        if lo is not None:
+            out = out & (c >= lo)
+        if hi is not None:
+            out = out & (c <= hi)
+        return out
     if kind == "not":
         return ~ast_predicate(ast[1], terms_col)
     parts = [ast_predicate(a, terms_col) for a in ast[1]]
@@ -159,17 +274,33 @@ def ast_predicate(ast: Ast, terms_col: Column) -> Column:
     return out
 
 
-def ast_to_duckdb(ast: Ast, terms_expr: str = "terms") -> str:
+def ast_to_duckdb(
+    ast: Ast, terms_expr: str = "terms", attr_prefix: str = "d."
+) -> str:
     """AST → DuckDB SQL predicate over a LIST(VARCHAR) column (oracle
-    twin of ast_predicate)."""
+    twin of ast_predicate); eq/range clauses reference
+    ``{attr_prefix}<field>``."""
     kind = ast[0]
     if kind == "term":
         t = ast[1].replace("'", "''")
         return f"list_contains({terms_expr}, '{t}')"
+    if kind == "eq":
+        v = ast[2].replace("'", "''")
+        return f"({attr_prefix}{ast[1]}::VARCHAR = '{v}')"
+    if kind == "range":
+        _, fld, lo, hi = ast
+        parts = []
+        if lo is not None:
+            parts.append(f"{attr_prefix}{fld}::DOUBLE >= {lo}")
+        if hi is not None:
+            parts.append(f"{attr_prefix}{fld}::DOUBLE <= {hi}")
+        return "(" + (" AND ".join(parts) or "TRUE") + ")"
     if kind == "not":
-        return f"(NOT {ast_to_duckdb(ast[1], terms_expr)})"
+        return f"(NOT {ast_to_duckdb(ast[1], terms_expr, attr_prefix)})"
     op = " AND " if kind == "and" else " OR "
-    return "(" + op.join(ast_to_duckdb(a, terms_expr) for a in ast[1]) + ")"
+    return "(" + op.join(
+        ast_to_duckdb(a, terms_expr, attr_prefix) for a in ast[1]
+    ) + ")"
 
 
 def boolean_matches(
@@ -180,6 +311,7 @@ def boolean_matches(
     stats: DataFrame,
     queries: list[tuple[str, str, int]],
     doc_filter: DataFrame | None = None,
+    attrs: DataFrame | None = None,
 ) -> DataFrame:
     """ALL admissible (query_id, doc_id, score) rows of a batch of
     boolean query strings — the full matching set, pre-top-k (what
@@ -190,8 +322,21 @@ def boolean_matches(
     the term-ordered BM25 sum over positive terms (negated terms ride
     along with contribution 0.0 — they exist only to prove/disprove the
     predicate) → AST predicate (pure Catalyst, dispatched per query).
-    Scoring stats stay corpus-wide, like fq."""
+    Scoring stats stay corpus-wide, like fq.
+
+    ``attrs`` (doc_id + metadata columns) is required when queries use
+    ``field:value`` / ``field:[lo TO hi]`` clauses; candidates
+    left-join it on doc_id (candidate rows only, never postings) and
+    the clauses evaluate on the joined columns — in-``q`` metadata
+    predicates, the reference's `last_indexed:[t TO *]` pattern
+    (WorkOrder.py:702-707). Attr clauses never score."""
     parsed = [(qid, parse_query(qs), k) for qid, qs, k in queries]
+    need_fields = sorted({f for _, ast, _ in parsed for f in ast_attr_fields(ast)})
+    if need_fields and attrs is None:
+        raise ValueError(
+            f"queries reference attribute fields {need_fields} but no attrs "
+            "table was given"
+        )
     stats_row = stats.collect()[0]
     avgdl = float(stats_row["avgdl"])
     all_terms = sorted({t for _, ast, _ in parsed for t in ast_terms(ast)})
@@ -239,13 +384,19 @@ def boolean_matches(
         ).alias("score"),
         F.collect_set("term").alias("present"),
     )
+    if need_fields:
+        g = g.join(
+            attrs.select("doc_id", *[F.col(c) for c in need_fields]),
+            "doc_id",
+            "left",
+        )
     # one predicate Column for all queries: CASE WHEN query_id=... THEN ast_i
     pred = F.lit(False)
     for qid, ast, _ in parsed:
         pred = F.when(
             F.col("query_id") == qid, ast_predicate(ast, F.col("present"))
         ).otherwise(pred)
-    admissible = g.filter(pred).drop("present")
+    admissible = g.filter(pred).select("query_id", "doc_id", "score")
     if doc_filter is not None:
         # Solr fq semantics: restrict candidates AFTER scoring — the
         # filter never changes idf/avgdl. Semi-join on candidate rows
@@ -262,10 +413,12 @@ def boolean_topk(
     stats: DataFrame,
     queries: list[tuple[str, str, int]],
     doc_filter: DataFrame | None = None,
+    attrs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k for a batch of boolean query strings: the full matching
     set from :func:`boolean_matches` through the shared salted top-k."""
     matches = boolean_matches(
-        spark, blocks, doclens, dictionary, stats, queries, doc_filter=doc_filter
+        spark, blocks, doclens, dictionary, stats, queries,
+        doc_filter=doc_filter, attrs=attrs,
     )
     return topk(matches, {qid: k for qid, _, k in queries})

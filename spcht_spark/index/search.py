@@ -81,6 +81,7 @@ def search(
         index.stats,
         [(query_id, request.q, request.k)],
         doc_filter=request.fq,
+        attrs=attrs,  # enables field:value / field:[lo TO hi] clauses in q
     )
     n_components = 1 + bool(request.facets) + bool(request.stats_field)
     if n_components > 1:

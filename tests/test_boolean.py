@@ -71,6 +71,81 @@ def test_ast_to_duckdb_shape():
     assert sql == "(list_contains(terms, 'a') AND (NOT list_contains(terms, 'b')))"
 
 
+# ------------------------------------------------- attribute clauses
+
+def test_parse_attr_clauses():
+    assert parse_query("a AND lang:en") == (
+        "and", [("term", "a"), ("eq", "lang", "en")]
+    )
+    assert parse_query("a AND n:[200 TO *]") == (
+        "and", [("term", "a"), ("range", "n", 200.0, None)]
+    )
+    assert parse_query("a AND n:[* TO 5]") == (
+        "and", [("term", "a"), ("range", "n", None, 5.0)]
+    )
+    assert parse_query("a AND -lang:zh") == (
+        "and", [("term", "a"), ("not", ("eq", "lang", "zh"))]
+    )
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "lang:en",                      # attr alone cannot drive retrieval
+        "a OR lang:en",                 # an attr-only branch
+        "a OR NOT n:[1 TO 2]",          # attr-only branch (negated)
+        "a AND n:[x TO 2]",             # non-numeric bound
+        "a AND n:[1 2]",                # malformed range
+    ],
+)
+def test_attr_rejects(bad):
+    with pytest.raises(QueryParseError):
+        parse_query(bad)
+
+
+def test_eval_ast_with_attrs():
+    ast = parse_query("a AND lang:en AND n:[10 TO 20]")
+    ok = {"lang": "en", "n": 15}
+    assert eval_ast(ast, frozenset({"a"}), ok)
+    assert not eval_ast(ast, frozenset({"a"}), {"lang": "de", "n": 15})
+    assert not eval_ast(ast, frozenset({"a"}), {"lang": "en", "n": 25})
+    assert not eval_ast(ast, frozenset({"a"}), {})  # missing attrs → False
+    assert not eval_ast(ast, frozenset(), ok)
+
+
+def test_attr_duckdb_sql_shape():
+    sql = ast_to_duckdb(parse_query("a AND n:[1 TO 2] AND -lang:zh"))
+    assert "d.n::DOUBLE >= 1.0" in sql and "d.n::DOUBLE <= 2.0" in sql
+    assert "(NOT (d.lang::VARCHAR = 'zh'))" in sql
+
+
+def test_boolean_topk_requires_attrs_table(spark, small_index):
+    with pytest.raises(ValueError, match="attrs"):
+        boolean_topk(
+            spark, small_index.blocks, small_index.doclens,
+            small_index.dictionary, small_index.stats,
+            [("q", "return AND lang:en", 5)],
+        )
+
+
+def test_boolean_topk_with_attr_clauses(spark, small_corpus_pd, small_corpus, small_index):
+    lang = small_corpus_pd["lang"].iloc[0]
+    got = boolean_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        [("q", f"return AND lang:{lang}", 1000)],
+        attrs=small_corpus.select("doc_id", "lang"),
+    ).collect()
+    from spcht_spark.oracle import tokenize_py as tok
+
+    expected = {
+        int(r.doc_id)
+        for r in small_corpus_pd.itertuples()
+        if r.lang == lang and "return" in set(tok(r.content))
+    }
+    assert {r["doc_id"] for r in got} == expected
+
+
 # ----------------------------------------------------------- execution
 
 BOOL_QUERIES = [
