@@ -1104,6 +1104,69 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
 """
 
 
+DOC_BOOST_QUERIES: list[tuple[str, str]] = [
+    ("tb_boost", "spark^3 join"),
+    ("tb_down", "join^0.5 AND hash"),
+    ("tb_mixed", "(join^0.5 AND hash) OR batch^2"),
+]
+
+
+def q_index_term_boosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term boosts in the boolean language (Lucene ``term^2.5``):
+    a positive term's BM25 contribution is scaled by its boost before
+    the deterministic term-ordered fold; negated clauses still never
+    score."""
+    from spcht_spark.index.boolean import boolean_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    qs = [(qid, s, DOC_K + 5) for qid, s in DOC_BOOST_QUERIES]
+    out = boolean_topk(spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, qs)
+    return _rerank_rounded(out)
+
+
+def _term_boosts_sql() -> str:
+    from spcht_spark.index.boolean import (
+        ast_terms, ast_to_duckdb, parse_query, positive_terms, term_boosts,
+    )
+
+    parsed = [(qid, parse_query(s)) for qid, s in DOC_BOOST_QUERIES]
+    vals = ", ".join(
+        f"('{qid}', '{t}', {str(t in positive_terms(ast)).upper()}, "
+        f"{term_boosts(ast).get(t, 1.0)})"
+        for qid, ast in parsed
+        for t in sorted(ast_terms(ast))
+    )
+    pred = " OR ".join(
+        f"(query_id = '{qid}' AND {ast_to_duckdb(ast)})" for qid, ast in parsed
+    )
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term, is_pos, boost) AS (VALUES {vals}),
+  g AS (
+    SELECT q.query_id, tf.doc_id,
+           list(DISTINCT tf.term) AS terms,
+           sum(CASE WHEN q.is_pos THEN
+                 q.boost * ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+               ELSE 0.0 END) AS raw
+    FROM q JOIN tf USING (term) JOIN dft USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  f AS (SELECT query_id, doc_id, raw FROM g WHERE {pred}),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM f)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
+"""
+
+
 # ------------------------------------------------- index-stats aggregates
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1948,6 +2011,7 @@ QUERIES = {
     "index_suggest": q_index_suggest,
     "index_search_request": q_index_search_request,
     "index_attr_query": q_index_attr_query,
+    "index_term_boosts": q_index_term_boosts,
     "term_stats": q_term_stats,
     "doclen_hist": q_doclen_hist,
     "regex_match_filter": q_regex_match_filter,
@@ -2003,6 +2067,7 @@ ORACLES = {
     "index_suggest": _suggest_sql(),
     "index_search_request": _search_request_sql(),
     "index_attr_query": _attr_query_sql(),
+    "index_term_boosts": _term_boosts_sql(),
     "term_stats": Q_TERM_STATS_SQL,
     "doclen_hist": Q_DOCLEN_HIST_SQL,
     "regex_match_filter": Q_REGEX_MATCH_SQL,

@@ -46,6 +46,7 @@ Ast = tuple
 _TOKEN_RE = re.compile(r"\(|\)|[^\s()]+:\[[^\]]*\]|[^\s()]+")
 _ATTR_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_.]*):(.+)$")
 _RANGE_RE = re.compile(r"^\[\s*(\S+)\s+TO\s+(\S+)\s*\]$", re.IGNORECASE)
+_BOOST_RE = re.compile(r"^([^\s:()^]+)\^(\d+(?:\.\d+)?)$")
 
 
 class QueryParseError(ValueError):
@@ -123,10 +124,13 @@ def parse_query(q: str) -> Ast:
         if t.startswith("-") and len(t) > 1:  # Lucene '-clause'
             take()
             body = t[1:]
+            mb = _BOOST_RE.match(body)
+            if mb:  # boost on a negated clause never scores; keep the term
+                return ("not", ("term", mb.group(1).lower()))
             m = _ATTR_RE.match(body)
             if m:
                 return ("not", _attr_clause(m.group(1), m.group(2), q))
-            return ("not", ("term", body))
+            return ("not", ("term", body.lower()))
         if t == "(":
             take()
             inner = parse_or()
@@ -136,6 +140,10 @@ def parse_query(q: str) -> Ast:
             return inner
         if t == ")" or t.upper() in ("AND", "OR"):
             raise QueryParseError(f"unexpected {t!r} in {q!r}")
+        mb = _BOOST_RE.match(t)
+        if mb:  # Lucene per-term boost: term^2.5
+            take()
+            return ("term", mb.group(1).lower(), float(mb.group(2)))
         m = _ATTR_RE.match(t)
         if m:
             take()
@@ -196,6 +204,34 @@ def ast_terms(ast: Ast) -> set[str]:
 def ast_attr_fields(ast: Ast) -> set[str]:
     """Attribute-table columns the query's eq/range clauses touch."""
     return {c[1] for c in _attr_clauses(ast)}
+
+
+def term_boosts(ast: Ast) -> dict[str, float]:
+    """Boost per positive term (default 1.0). A term carrying two
+    different boosts in one query is rejected — Lucene would score the
+    clauses separately; here a term scores once."""
+    out: dict[str, float] = {}
+
+    def walk(a: Ast, neg: bool) -> None:
+        kind = a[0]
+        if kind == "term":
+            if neg:
+                return
+            b = float(a[2]) if len(a) > 2 else 1.0
+            if a[1] in out and out[a[1]] != b:
+                raise QueryParseError(
+                    f"term {a[1]!r} appears with conflicting boosts "
+                    f"({out[a[1]]} vs {b})"
+                )
+            out[a[1]] = b
+        elif kind == "not":
+            walk(a[1], not neg)
+        elif kind in ("and", "or"):
+            for c in a[1]:
+                walk(c, neg)
+
+    walk(ast, False)
+    return out
 
 
 def positive_terms(ast: Ast, neg: bool = False) -> set[str]:
@@ -346,13 +382,16 @@ def boolean_matches(
             [], schema="query_id string, doc_id long, score double"
         )
 
+    boosts = {qid: term_boosts(ast) for qid, ast, _ in parsed}
     qrows = [
-        (qid, t, t in positive_terms(ast))
+        (qid, t, t in positive_terms(ast), boosts[qid].get(t, 1.0))
         for qid, ast, _ in parsed
         for t in sorted(ast_terms(ast))
         if t in idfs
     ]
-    query_terms = spark.createDataFrame(qrows, ["query_id", "term", "is_pos"])
+    query_terms = spark.createDataFrame(
+        qrows, ["query_id", "term", "is_pos", "boost"]
+    )
     postings = decode_blocks(blocks.filter(F.col("term").isin(list(idfs.keys()))))
     idf_map = F.create_map(
         *[x for t, v in sorted(idfs.items()) for x in (F.lit(t), F.lit(v))]
@@ -364,7 +403,8 @@ def boolean_matches(
             "contrib",
             F.when(
                 F.col("is_pos"),
-                idf_map[F.col("term")]
+                F.col("boost")  # Lucene per-term boost (term^2.5); 1.0 default
+                * idf_map[F.col("term")]
                 * (
                     (F.col("tf") * F.lit(K1 + 1.0))
                     / (

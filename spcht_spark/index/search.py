@@ -39,6 +39,8 @@ class SearchRequest:
 
     q: str                                   # boolean / free-form query
     k: int = 10                              # rows
+    start: int = 0                           # offset paging (Solr start=N);
+                                             # deep paging → index.cursor
     fq: DataFrame | None = None              # filter query: (doc_id) frame
     fl: list[str] = field(default_factory=list)  # stored fields to return
     facets: dict[str, Column] | None = None  # facet.field / facet.range
@@ -88,7 +90,10 @@ def search(
         # one match pass feeds hits + facets + stats (Solr's shared DocSet)
         matches = matches.localCheckpoint(eager=False)
 
-    hits = topk(matches, {query_id: request.k})
+    hits = topk(matches, {query_id: request.start + request.k})
+    if request.start:
+        # Solr start=N: keep absolute ranks, drop the first N rows
+        hits = hits.filter(F.col("rank") > request.start)
     if request.fl:
         stored = attrs.select("doc_id", *[F.col(c) for c in request.fl])
         hits = F.broadcast(hits).join(stored, "doc_id").select(

@@ -71,6 +71,61 @@ def test_ast_to_duckdb_shape():
     assert sql == "(list_contains(terms, 'a') AND (NOT list_contains(terms, 'b')))"
 
 
+# ------------------------------------------------- term boosts
+
+def test_parse_term_boost():
+    from spcht_spark.index.boolean import term_boosts
+
+    ast = parse_query("a^2.5 AND b AND -c^3")
+    assert ast == (
+        "and",
+        [("term", "a", 2.5), ("term", "b"), ("not", ("term", "c"))],
+    )
+    assert term_boosts(ast) == {"a": 2.5, "b": 1.0}
+
+
+def test_conflicting_boosts_rejected():
+    from spcht_spark.index.boolean import term_boosts
+
+    with pytest.raises(QueryParseError, match="conflicting"):
+        term_boosts(parse_query("a^2 OR a^3"))
+
+
+def test_boost_scales_score(spark, small_corpus_pd, small_index):
+    base = boolean_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        [("q", "handler7", 5)],
+    ).collect()
+    boosted = boolean_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        [("q", "handler7^2", 5)],
+    ).collect()
+    assert len(base) == len(boosted) > 0
+    for b, bb in zip(sorted(base, key=lambda r: r["rank"]),
+                     sorted(boosted, key=lambda r: r["rank"])):
+        assert bb["doc_id"] == b["doc_id"]
+        assert abs(bb["score"] - 2.0 * b["score"]) < 1e-9
+
+
+def test_search_start_offset(spark, small_corpus, small_index):
+    from spcht_spark.index.search import SearchRequest, search
+
+    full = search(
+        spark, small_index, small_corpus, SearchRequest(q="return", k=9)
+    ).hits.collect()
+    page2 = search(
+        spark, small_index, small_corpus, SearchRequest(q="return", k=3, start=3)
+    ).hits.collect()
+    full_sorted = sorted(full, key=lambda r: r["rank"])
+    page2_sorted = sorted(page2, key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in page2_sorted] == [
+        r["doc_id"] for r in full_sorted[3:6]
+    ]
+    assert [r["rank"] for r in page2_sorted] == [4, 5, 6]
+
+
 # ------------------------------------------------- attribute clauses
 
 def test_parse_attr_clauses():
