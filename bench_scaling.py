@@ -30,7 +30,11 @@ import sys
 import time
 
 CORPUS_PATH = os.environ.get("SPCHT_SCALE_CORPUS", "/tmp/spcht_scale_corpus")
-N_DOCS = int(os.environ.get("SPCHT_SCALE_DOCS", "12000"))
+# 120k docs (~0.5 GB content): the round-3 build is ~10x faster than
+# round 2's, so 12k docs finished in ~30 s at BOTH levels — per-stage
+# fixed costs (driver-side planning/codegen, stage commits) dominated
+# and the ratio measured nothing. The parallel path has to dominate.
+N_DOCS = int(os.environ.get("SPCHT_SCALE_DOCS", "120000"))
 # Default N=2 vs 4N=8: a raw-CPU probe (see BENCH.md) shows this host
 # exposes ~8-16 effectively-contention-free cores (32 logical w/ SMT),
 # so 8→32 cannot physically yield 4x regardless of plan quality.
@@ -81,28 +85,39 @@ def worker(cores: int) -> None:
 REPEATS = int(os.environ.get("SPCHT_SCALE_REPEATS", "3"))
 
 
-def run_level(cores: int) -> dict:
-    """Median of REPEATS cold one-shot runs (fresh JVM each): this VM's
-    memcg page-fault accounting makes single runs noisy; cold/cold at
-    both levels is apples-to-apples and the median tames outliers."""
-    results = []
+def _one_run(cores: int) -> dict:
     env = dict(os.environ, SPCHT_SPARK_DRIVER_MEM=f"{2 * cores}g")
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cores - 1}",
+         sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
+        capture_output=True, text=True, check=True, env=env,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_levels() -> tuple[dict, dict]:
+    """Median of REPEATS cold one-shot runs per level (fresh pinned JVM
+    each), INTERLEAVED lo,hi,lo,hi,…: this VM's memcg page-fault
+    storms come in multi-minute episodes, so a lo-lo-lo-hi-hi-hi order
+    lets one episode land entirely on one level and swing the ratio by
+    3x+ for identical code (measured). Interleaving spreads an episode
+    across both levels; the median tames the rest."""
+    per: dict[int, list[dict]] = {LO: [], HI: []}
     for _ in range(REPEATS):
-        out = subprocess.run(
-            ["taskset", "-c", f"0-{cores - 1}",
-             sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
-            capture_output=True, text=True, check=True, env=env,
-        )
-        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
-    results.sort(key=lambda r: r["seconds"])
-    med = results[len(results) // 2]
-    med["all_seconds"] = [r["seconds"] for r in results]
-    return med
+        per[LO].append(_one_run(LO))
+        per[HI].append(_one_run(HI))
+
+    def med(cores: int) -> dict:
+        rs = sorted(per[cores], key=lambda r: r["seconds"])
+        m = dict(rs[len(rs) // 2])
+        m["all_seconds"] = [r["seconds"] for r in per[cores]]
+        return m
+
+    return med(LO), med(HI)
 
 
 def main() -> None:
-    lo = run_level(LO)
-    hi = run_level(HI)
+    lo, hi = run_levels()
     ratio = HI / LO
     eff = hi["files_per_sec"] / (ratio * lo["files_per_sec"])
     print(

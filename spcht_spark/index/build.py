@@ -82,6 +82,17 @@ class IndexTables:
 
 
 def build_tokens(corpus: DataFrame, tokenizer: str = "arrow") -> DataFrame:
+    # Underpartitioned input starves the tokenize stage of tasks: a
+    # small-but-dense corpus parquet (few files / under
+    # maxPartitionBytes splits) yields fewer input partitions than
+    # cores, and NOTHING downstream recovers the lost parallelism
+    # (mapInPandas preserves partitioning). At 100 TB the scan always
+    # has >> cores splits and this guard never fires; the repartition
+    # only pays (one corpus shuffle) when the input would otherwise
+    # idle most of the cluster.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par * 2)
     if tokenizer == "arrow":
         return tokens_arrow(corpus)
     if tokenizer == "jvm":
