@@ -75,6 +75,14 @@ def get_spark(
         # on 8 pinned cores, and 2→8-core scaling went from negative to
         # 0.8+). Smaller batches also bound worker memory for wide rows.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Dense small-corpus parquet (hundreds of MB in a handful of
+        # row groups) coalesces to fewer splits than cores at the 128m
+        # default, starving every scan-rooted stage of tasks (measured:
+        # a 243 MB corpus read as ~4 splits → tokenize ran 4 tasks on 8
+        # cores). Finer splits cost nothing at 100 TB — scans there
+        # have orders of magnitude more splits than cores either way.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
