@@ -373,6 +373,13 @@ def boolean_matches(
             f"queries reference attribute fields {need_fields} but no attrs "
             "table was given"
         )
+    reserved = {"query_id", "doc_id", "score", "present", "term", "tf", "dl"}
+    bad = reserved & set(need_fields)
+    if bad:
+        raise ValueError(
+            f"attribute field name(s) {sorted(bad)} collide with engine "
+            "columns — rename them in the attrs table and query"
+        )
     stats_row = stats.collect()[0]
     avgdl = float(stats_row["avgdl"])
     all_terms = sorted({t for _, ast, _ in parsed for t in ast_terms(ast)})

@@ -72,7 +72,9 @@ def paged_scan(
     (``sort_col`` asc, doc_id asc), fetched page-by-page through
     keyset cursors — (query_id, page, pos, doc_id, sort_value).
 
-    ``attrs`` must carry (doc_id, sort_col). Page 0 runs unfiltered;
+    ``attrs`` must carry (doc_id, sort_col); the sort column is cast
+    to long (integral sort keys — Solr cursorMark over docValues; a
+    float sort key would need a typed cursor). Page 0 runs unfiltered;
     page N filters strictly beyond each query's cursor (the (sort,
     doc) of the last row of page N-1), so the pages provably
     reconstruct the global sort order — the driver oracle checks the

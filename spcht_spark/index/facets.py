@@ -149,7 +149,10 @@ def field_stats(
 def _referenced(attrs: DataFrame, col: Column) -> set[str]:
     """Columns of attrs a facet expression touches (for pruning the
     join input). Falls back to all columns when the expression string
-    is opaque."""
-    expr = str(col._jc)  # e.g. "Column<'FLOOR((n_chars / 100))'>"
+    is opaque (e.g. no ``_jc`` under Spark Connect)."""
+    try:
+        expr = str(col._jc)  # e.g. "Column<'FLOOR((n_chars / 100))'>"
+    except AttributeError:
+        expr = str(col)
     hits = {c for c in attrs.columns if c != "doc_id" and c in expr}
     return hits or {c for c in attrs.columns if c != "doc_id"}
