@@ -316,20 +316,46 @@ DOC_PHRASES: list[tuple[str, list[str]]] = [
 ]
 
 
+def _persisted_positional_index(spark: SparkSession, sf_dir: str):
+    """Positional-layout twin of _persisted_index: built once per
+    source fingerprint, committed as term-sorted parquet (the phrase
+    path's ``term IN (...)`` then prunes row groups like the standard
+    blocks), reopened on every later call."""
+    from spcht_spark.index.build import IndexTables
+    from spcht_spark.index.phrase import build_positional_index
+
+    key = _source_fingerprint(sf_dir)
+    root = os.path.join(_INDEX_CACHE_ROOT, f"pos-{key}")
+    names = ("blocks", "doclens", "dictionary", "stats")
+    if not all(
+        os.path.exists(os.path.join(root, n, "_SUCCESS")) for n in names
+    ):
+        idx = build_positional_index(
+            spark, _index_corpus(spark, sf_dir), mode="ws",
+            shard_span=_INDEX_SHARD_SPAN,
+        )
+        idx.blocks.sortWithinPartitions("term").write.mode("overwrite").parquet(
+            os.path.join(root, "blocks")
+        )
+        for n in ("doclens", "dictionary", "stats"):
+            getattr(idx, n).write.mode("overwrite").parquet(os.path.join(root, n))
+    t = {n: spark.read.parquet(os.path.join(root, n)) for n in names}
+    return IndexTables(None, t["doclens"], t["dictionary"], t["stats"], t["blocks"])
+
+
 def q_index_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase retrieval over POSITIONAL postings (round-2 VERDICT
-    missing #4; Solr phrase `q`, WorkOrder.py:693): build the positional
+    missing #4; Solr phrase `q`, WorkOrder.py:693): the positional
     layout (per-posting delta+varbyte position lists riding the same
-    (term, shard) blocks), intersect phrase terms per shard, verify
-    in-order adjacency from decoded positions, score matches with the
-    conjunctive BM25 of the phrase's distinct terms. Oracle: DuckDB
-    reproduces phrase containment with LIKE on the space-joined token
-    text and the same conjunctive scoring."""
-    from spcht_spark.index.phrase import build_positional_index, phrase_topk
+    (term, shard) blocks) persists once per source fingerprint like the
+    standard driver index; queries intersect phrase terms per shard,
+    verify in-order adjacency from decoded positions, and score matches
+    with the conjunctive BM25 of the phrase's distinct terms. Oracle:
+    DuckDB reproduces phrase containment with LIKE on the space-joined
+    token text and the same conjunctive scoring."""
+    from spcht_spark.index.phrase import phrase_topk
 
-    idx = build_positional_index(
-        spark, _index_corpus(spark, sf_dir), mode="ws", shard_span=_INDEX_SHARD_SPAN
-    )
+    idx = _persisted_positional_index(spark, sf_dir)
     qs = [(qid, ts, DOC_K + 5) for qid, ts in DOC_PHRASES]
     out = phrase_topk(spark, idx.blocks, idx.dictionary, idx.stats, qs)
     return _rerank_rounded(out)
