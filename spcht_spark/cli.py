@@ -93,6 +93,8 @@ def main(argv: list[str] | None = None) -> int:
                          "required for --fl/--facet/--stats-field/--hl")
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--content-col", default="content")
+    sp.add_argument("--fq", default=None,
+                    help='metadata filter query, e.g. "lang:en AND n:[2 TO *]"')
     sp.add_argument("--fl", nargs="*", default=[])
     sp.add_argument("--facet", nargs="*", default=[])
     sp.add_argument("--stats-field", default=None)
@@ -208,9 +210,11 @@ def main(argv: list[str] | None = None) -> int:
         from spcht_spark.index.search import SearchRequest, search
 
         idx = load_index(spark, args.workdir)
-        needs_store = bool(args.fl or args.facet or args.stats_field or args.hl)
+        needs_store = bool(
+            args.fl or args.facet or args.stats_field or args.hl or args.fq
+        )
         if needs_store and not args.doc_store:
-            print("error: --fl/--facet/--stats-field/--hl need --doc-store",
+            print("error: --fq/--fl/--facet/--stats-field/--hl need --doc-store",
                   file=sys.stderr)
             if owns_session:
                 spark.stop()
@@ -226,6 +230,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, idx, store,
             SearchRequest(
                 q=args.q, k=args.k,
+                fq=args.fq,
                 fl=args.fl,
                 facets={f: F.col(f) for f in args.facet} or None,
                 stats_field=args.stats_field,

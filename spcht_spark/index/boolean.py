@@ -80,7 +80,17 @@ def _attr_clause(field_name: str, val: str, q: str) -> Ast:
 def parse_query(q: str) -> Ast:
     """Parse a boolean query string. Raises QueryParseError on syntax
     errors and on pure-negative (postings-unanswerable) queries."""
-    toks = _lex(q)
+    ast = _parse_tokens(_lex(q), q)
+    if _satisfiable_without_terms(ast):
+        raise QueryParseError(
+            f"query {q!r} can match docs containing none of its fulltext "
+            "terms — unanswerable from postings (Lucene top-level MUST_NOT "
+            "rule; attribute clauses alone cannot drive retrieval here)"
+        )
+    return ast
+
+
+def _parse_tokens(toks: list[str], q: str) -> Ast:
     pos = 0
 
     def peek() -> str | None:
@@ -153,12 +163,6 @@ def parse_query(q: str) -> Ast:
     ast = parse_or()
     if pos != len(toks):
         raise QueryParseError(f"trailing tokens in {q!r}")
-    if _satisfiable_without_terms(ast):
-        raise QueryParseError(
-            f"query {q!r} can match docs containing none of its fulltext "
-            "terms — unanswerable from postings (Lucene top-level MUST_NOT "
-            "rule; attribute clauses alone cannot drive retrieval here)"
-        )
     return ast
 
 
@@ -450,6 +454,35 @@ def boolean_matches(
         # (query_id, doc_id, score), never postings.
         admissible = admissible.join(doc_filter.select("doc_id"), "doc_id", "semi")
     return admissible
+
+
+def parse_filter_query(fq: str) -> Ast:
+    """Parse a Solr ``fq`` string: attribute clauses (eq/range) and
+    boolean operators ONLY — fq restricts by metadata; fulltext terms
+    belong in ``q`` (a postings-side filter would need the index, not
+    the doc store). Unlike ``q``, a pure-attribute expression is the
+    NORMAL case here, so the answerability check does not apply."""
+    toks = _lex(fq)
+    # reuse the main parser by temporarily treating the string as a
+    # query, but skip the postings-answerability validation
+    ast = _parse_tokens(toks, fq)
+    bad = sorted(ast_terms(ast))
+    if bad:
+        raise QueryParseError(
+            f"fq {fq!r} contains fulltext terms {bad} — fq is "
+            "metadata-only (field:value / field:[lo TO hi]); put terms in q"
+        )
+    return ast
+
+
+def fq_filter(doc_store: DataFrame, fq: str, id_col: str = "doc_id") -> DataFrame:
+    """``fq`` string → one-column (doc_id) admissible-docs frame, the
+    shape every *_topk doc_filter parameter takes. Evaluates the
+    attribute predicate as pure Catalyst over the doc store — at scale
+    this is the metadata-table scan Solr's filterCache fronts."""
+    ast = parse_filter_query(fq)
+    pred = ast_predicate(ast, F.array().cast("array<string>"))
+    return doc_store.filter(pred).select(F.col(id_col).alias("doc_id"))
 
 
 def boolean_topk(

@@ -41,7 +41,9 @@ class SearchRequest:
     k: int = 10                              # rows
     start: int = 0                           # offset paging (Solr start=N);
                                              # deep paging → index.cursor
-    fq: DataFrame | None = None              # filter query: (doc_id) frame
+    fq: DataFrame | str | None = None        # filter query: (doc_id) frame,
+                                             # or a metadata-only fq string
+                                             # ("lang:en AND n:[2 TO *]")
     fl: list[str] = field(default_factory=list)  # stored fields to return
     facets: dict[str, Column] | None = None  # facet.field / facet.range
     stats_field: str | None = None           # stats.field
@@ -74,6 +76,11 @@ def search(
         if id_col == "doc_id"
         else doc_store.withColumnRenamed(id_col, "doc_id")
     )
+    fq = request.fq
+    if isinstance(fq, str):
+        from spcht_spark.index.boolean import fq_filter
+
+        fq = fq_filter(attrs, fq)
 
     matches = boolean_matches(
         spark,
@@ -82,7 +89,7 @@ def search(
         index.dictionary,
         index.stats,
         [(query_id, request.q, request.k)],
-        doc_filter=request.fq,
+        doc_filter=fq,
         attrs=attrs,  # enables field:value / field:[lo TO hi] clauses in q
     )
     n_components = 1 + bool(request.facets) + bool(request.stats_field)

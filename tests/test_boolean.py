@@ -71,6 +71,55 @@ def test_ast_to_duckdb_shape():
     assert sql == "(list_contains(terms, 'a') AND (NOT list_contains(terms, 'b')))"
 
 
+# ------------------------------------------------- fq strings
+
+def test_parse_filter_query_attr_only():
+    from spcht_spark.index.boolean import parse_filter_query
+
+    assert parse_filter_query("lang:en AND n:[200 TO *]") == (
+        "and", [("eq", "lang", "en"), ("range", "n", 200.0, None)]
+    )
+    # pure-negative is FINE in fq (metadata filters need no postings)
+    assert parse_filter_query("NOT lang:zh") == ("not", ("eq", "lang", "zh"))
+    with pytest.raises(QueryParseError, match="fulltext terms"):
+        parse_filter_query("lang:en AND spark")
+
+
+def test_fq_filter_frame(spark, small_corpus_pd, small_corpus):
+    from spcht_spark.index.boolean import fq_filter
+
+    lang = small_corpus_pd["lang"].iloc[0]
+    ids = {
+        r["doc_id"]
+        for r in fq_filter(small_corpus, f"lang:{lang}").collect()
+    }
+    assert ids == {
+        int(r.doc_id) for r in small_corpus_pd.itertuples() if r.lang == lang
+    }
+
+
+def test_search_with_fq_string(spark, small_corpus_pd, small_corpus, small_index):
+    from pyspark.sql import functions as F
+
+    from spcht_spark.index.search import SearchRequest, search
+
+    lang = small_corpus_pd["lang"].iloc[0]
+    via_str = search(
+        spark, small_index, small_corpus,
+        SearchRequest(q="return", k=8, fq=f"lang:{lang}"),
+    ).hits.collect()
+    via_frame = search(
+        spark, small_index, small_corpus,
+        SearchRequest(
+            q="return", k=8,
+            fq=small_corpus.filter(F.col("lang") == lang).select("doc_id"),
+        ),
+    ).hits.collect()
+    key = lambda rows: sorted((r["rank"], r["doc_id"], r["score"]) for r in rows)
+    assert key(via_str) == key(via_frame)
+    assert via_str  # non-empty
+
+
 # ------------------------------------------------- term boosts
 
 def test_parse_term_boost():
