@@ -1193,6 +1193,70 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
 """
 
 
+_EXPLAIN_TERMS = ["spark", "join", "window"]
+_EXPLAIN_DOCS = [11, 42, 303]
+
+
+def q_index_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score explanation (Lucene Explanation / Solr debugQuery): the
+    per-term BM25 breakdown for chosen docs, from the persisted index
+    with the block scan pruned on BOTH term and shard (doc → shard is
+    a pure function of the doc-range layout, so explaining 3 docs
+    decodes only the blocks that can contain them)."""
+    from spcht_spark.index.explain import explain_scores
+
+    idx = _persisted_index(spark, sf_dir)
+    out = explain_scores(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats,
+        _EXPLAIN_TERMS, _EXPLAIN_DOCS, shard_span=_INDEX_SHARD_SPAN,
+    )
+    return out.select(
+        "doc_id", "term", "tf", "dl", "df",
+        F.round("idf", 6).alias("idf"), F.round("contrib", 6).alias("contrib"),
+    )
+
+
+def _explain_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _EXPLAIN_TERMS)
+    docs = ", ".join(str(d) for d in _EXPLAIN_DOCS)
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term, tf.tf, dl.dl, dft.df,
+       round(ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)), 6) AS idf,
+       round(ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))), 6) AS contrib
+FROM tf JOIN dft USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+     CROSS JOIN stats s
+WHERE tf.term IN ({terms}) AND tf.doc_id IN ({docs})
+"""
+
+
+def q_index_terms_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr TermsComponent: dictionary rows under a prefix, ordered
+    (df desc, term asc) — pure index-metadata scan, no postings."""
+    from spcht_spark.index.explain import terms_component
+
+    idx = _persisted_index(spark, sf_dir)
+    return terms_component(idx.dictionary, prefix="s", limit=8)
+
+
+def _terms_component_sql() -> str:
+    return f"""
+WITH {_TOK_SQL},
+  dft AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+          FROM tf GROUP BY term)
+SELECT row_number() OVER (ORDER BY df DESC, term)::INTEGER AS rank,
+       term, df, cf
+FROM dft WHERE term LIKE 's%'
+QUALIFY rank <= 8
+"""
+
+
 # ------------------------------------------------- index-stats aggregates
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2038,6 +2102,8 @@ QUERIES = {
     "index_search_request": q_index_search_request,
     "index_attr_query": q_index_attr_query,
     "index_term_boosts": q_index_term_boosts,
+    "index_explain": q_index_explain,
+    "index_terms_component": q_index_terms_component,
     "term_stats": q_term_stats,
     "doclen_hist": q_doclen_hist,
     "regex_match_filter": q_regex_match_filter,
@@ -2094,6 +2160,8 @@ ORACLES = {
     "index_search_request": _search_request_sql(),
     "index_attr_query": _attr_query_sql(),
     "index_term_boosts": _term_boosts_sql(),
+    "index_explain": _explain_sql(),
+    "index_terms_component": _terms_component_sql(),
     "term_stats": Q_TERM_STATS_SQL,
     "doclen_hist": Q_DOCLEN_HIST_SQL,
     "regex_match_filter": Q_REGEX_MATCH_SQL,
