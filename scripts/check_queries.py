@@ -2,6 +2,10 @@
 at a given sf dir (default sf0.01, the driver's scale).
 
 Usage: python scripts/check_queries.py [sf_dir] [name ...]
+
+Also importable: :func:`check_queries` is the compare the overflow
+pytest gate (tests/test_driver_overflow.py) runs, so registry entries
+beyond the driver's 50-query cap stay hard-gated.
 """
 
 from __future__ import annotations
@@ -15,9 +19,6 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-import __spark_entry__ as entrymod
-from spcht_spark.session import get_spark
-
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -29,10 +30,14 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or sorted(entrymod.queries().keys())
-    spark = get_spark()
+def check_queries(
+    spark, sf_dir: str, names: list[str], verbose: bool = True
+) -> list[str]:
+    """Run each named queries() entry against its oracle_sql() twin the
+    way the driver does (schema, rows, per-column values). Returns the
+    failing names (empty == all green)."""
+    import __spark_entry__ as entrymod
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -42,7 +47,8 @@ def main() -> int:
     for name in names:
         got = qs[name](spark, sf_dir).toPandas()
         if name not in oracles:
-            print(f"{name}: rows={len(got)} (no oracle)")
+            if verbose:
+                print(f"{name}: rows={len(got)} (no oracle)")
             continue
         want = con.execute(oracles[name]).df()
         status = []
@@ -68,9 +74,21 @@ def main() -> int:
                     status.append(f"VALUES {col}")
         if status:
             failed.append(name)
-            print(f"{name}: FAIL  {'; '.join(status)}")
-        else:
+            if verbose:
+                print(f"{name}: FAIL  {'; '.join(status)}")
+        elif verbose:
             print(f"{name}: ok rows={len(got)}")
+    return failed
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from spcht_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or sorted(entrymod.queries().keys())
+    spark = get_spark()
+    failed = check_queries(spark, sf_dir, names)
     print(f"\n{len(names) - len(failed)}/{len(names)} green")
     return 1 if failed else 0
 

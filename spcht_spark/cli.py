@@ -213,8 +213,28 @@ def main(argv: list[str] | None = None) -> int:
         needs_store = bool(
             args.fl or args.facet or args.stats_field or args.hl or args.fq
         )
+        if not needs_store:
+            # field:value / field:[lo TO hi] clauses inside q evaluate
+            # against the doc store too — without it they'd die on the
+            # empty placeholder with a raw missing-column error.
+            from spcht_spark.index.boolean import (
+                QueryParseError,
+                ast_attr_fields,
+                parse_query,
+            )
+
+            try:
+                needs_store = bool(
+                    ast_attr_fields(parse_query(args.q, idx.analyzer))
+                )
+            except QueryParseError as ex:
+                print(f"error: {ex}", file=sys.stderr)
+                if owns_session:
+                    spark.stop()
+                return 2
         if needs_store and not args.doc_store:
-            print("error: --fq/--fl/--facet/--stats-field/--hl need --doc-store",
+            print("error: --fq/--fl/--facet/--stats-field/--hl and "
+                  "field:value clauses in q need --doc-store",
                   file=sys.stderr)
             if owns_session:
                 spark.stop()
@@ -232,7 +252,7 @@ def main(argv: list[str] | None = None) -> int:
                 q=args.q, k=args.k,
                 fq=args.fq,
                 fl=args.fl,
-                facets={f: F.col(f) for f in args.facet} or None,
+                facets={f: (F.col(f), [f]) for f in args.facet} or None,
                 stats_field=args.stats_field,
                 hl=args.hl,
             ),

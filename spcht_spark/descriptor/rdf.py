@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 # n3: Turtle output is valid N3 (Turtle is an N3 subset), matching
 # rdflib's behavior for format="n3" on triple-only graphs
 # (/root/reference/Spcht/Core/SpchtUtility.py:513 accepts both names).
-FORMATS = ("nt", "nquads", "ttl", "turtle", "n3", "xml")
+# trig/trix: the remaining formats rdflib's process2RDF accepts
+# (SpchtUtility.py:513) — TriG wraps the Turtle blocks in a named-graph
+# section; TriX is the per-triple XML syntax (zero-shuffle like nt).
+FORMATS = ("nt", "nquads", "ttl", "turtle", "n3", "xml", "trig", "trix")
 
 # PN_LOCAL we are willing to prefix-compress (conservative subset of the
 # Turtle grammar; anything else falls back to a full <uri>).
@@ -216,6 +219,67 @@ def triples_to_xml(triples: DataFrame) -> tuple[str, DataFrame, str]:
     return _XML_HEADER, body, _XML_FOOTER
 
 
+def triples_to_trig(
+    triples: DataFrame, graph: str
+) -> tuple[str, DataFrame, str]:
+    """(header, body, footer): the Turtle prefix block + subject blocks
+    wrapped in ONE named-graph section ``<graph> { ... }`` — the
+    single-graph TriG a triple table with a constant graph IRI
+    serializes to. Same one-shuffle subject grouping as Turtle."""
+    header, body = triples_to_turtle(triples)
+    return header + f"\n<{graph}> {{\n", body, "}\n"
+
+
+_TRIX_NS = "http://www.w3.org/2004/03/trix/trix-1/"
+
+
+def triples_to_trix(
+    triples: DataFrame, graph: str
+) -> tuple[str, DataFrame, str]:
+    """(header, body, footer): TriX — one ``<triple>`` element per row,
+    no cross-row state, so like nt/nquads it is a zero-shuffle sink."""
+    obj_el = F.when(
+        F.col("object_is_uri"),
+        F.format_string("      <uri>%s</uri>", _xml_escape(F.col("object"))),
+    ).otherwise(
+        F.when(
+            F.col("lang").isNotNull(),
+            F.format_string(
+                '      <plainLiteral xml:lang="%s">%s</plainLiteral>',
+                F.col("lang"), _xml_escape(F.col("object")),
+            ),
+        )
+        .when(
+            F.col("datatype").isNotNull(),
+            F.format_string(
+                '      <typedLiteral datatype="%s">%s</typedLiteral>',
+                _xml_escape(F.col("datatype")), _xml_escape(F.col("object")),
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "      <plainLiteral>%s</plainLiteral>",
+                _xml_escape(F.col("object")),
+            )
+        )
+    )
+    body = triples.select(
+        F.format_string(
+            "    <triple>\n      <uri>%s</uri>\n      <uri>%s</uri>\n%s\n    </triple>",
+            _xml_escape(F.col("subject")),
+            _xml_escape(F.col("predicate")),
+            obj_el,
+        ).alias("line")
+    )
+    header = (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        f'<TriX xmlns="{_TRIX_NS}">\n'
+        f"  <graph>\n    <uri>{graph}</uri>"
+    )
+    footer = "  </graph>\n</TriX>"
+    return header, body, footer
+
+
 def write_rdf(
     triples: DataFrame, path: str, fmt: str = "nt", graph: str | None = None
 ) -> None:
@@ -235,8 +299,17 @@ def write_rdf(
         header, body = triples_to_turtle(triples)
         head_df = spark.createDataFrame([(header,)], ["line"]).coalesce(1)
         head_df.unionAll(body).write.mode("overwrite").text(path)
-    elif fmt == "xml":
-        header, body, footer = triples_to_xml(triples)
+    elif fmt in ("xml", "trig", "trix"):
+        if fmt == "xml":
+            header, body, footer = triples_to_xml(triples)
+        elif fmt == "trig":
+            header, body, footer = triples_to_trig(
+                triples, graph or "urn:spcht:default"
+            )
+        else:
+            header, body, footer = triples_to_trix(
+                triples, graph or "urn:spcht:default"
+            )
         head_df = spark.createDataFrame([(header,)], ["line"]).coalesce(1)
         foot_df = spark.createDataFrame([(footer,)], ["line"]).coalesce(1)
         head_df.unionAll(body).unionAll(foot_df).write.mode("overwrite").text(path)
@@ -261,6 +334,14 @@ def serialize_rdf(triples: DataFrame, fmt: str = "ttl", graph: str | None = None
         return header + "\n" + "\n".join(blocks) + "\n"
     if fmt == "xml":
         header, body, footer = triples_to_xml(triples)
+        blocks = sorted(r["line"] for r in body.collect())
+        return header + "\n" + "\n".join(blocks) + "\n" + footer + "\n"
+    if fmt == "trig":
+        header, body, footer = triples_to_trig(triples, graph or "urn:spcht:default")
+        blocks = sorted(r["line"] for r in body.collect())
+        return header + "\n".join(blocks) + "\n" + footer
+    if fmt == "trix":
+        header, body, footer = triples_to_trix(triples, graph or "urn:spcht:default")
         blocks = sorted(r["line"] for r in body.collect())
         return header + "\n" + "\n".join(blocks) + "\n" + footer + "\n"
     raise ValueError(f"unknown rdf format {fmt!r} (choose from {FORMATS})")

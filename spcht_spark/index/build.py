@@ -74,14 +74,38 @@ BLOCKS_SCHEMA = T.StructType(
 
 @dataclass
 class IndexTables:
-    tokens: DataFrame
+    tokens: DataFrame | None  # optional stage — queries never read it
     doclens: DataFrame
     dictionary: DataFrame
     stats: DataFrame
     blocks: DataFrame
+    # Build metadata carried with the handle so query paths need no
+    # out-of-band knowledge: shard_span is the doc-range width (doc →
+    # shard is a pure function — filtered WAND and explain need it);
+    # analyzer is the content normalization applied at build time, and
+    # query-time parsing MUST fold with the SAME analyzer.
+    shard_span: int | None = None
+    analyzer: str | None = None
 
 
-def build_tokens(corpus: DataFrame, tokenizer: str = "arrow") -> DataFrame:
+def apply_analyzer(corpus: DataFrame, analyzer: str | None) -> DataFrame:
+    """Normalize content per the analyzer option, JVM-side (one
+    whole-stage-codegen projection, no Python). ``None`` keeps content
+    verbatim (case-preserving — right for source code, where ``Return``
+    and ``return`` are different identifiers); ``"lowercase"`` folds
+    case like Solr's LowerCaseFilter. The SAME option must be given to
+    parse_query/search at query time (Solr runs one analyzer chain at
+    index and query time)."""
+    if analyzer is None:
+        return corpus
+    if analyzer == "lowercase":
+        return corpus.withColumn("content", F.lower("content"))
+    raise ValueError(f"unknown analyzer {analyzer!r} (None or 'lowercase')")
+
+
+def build_tokens(
+    corpus: DataFrame, tokenizer: str = "arrow", analyzer: str | None = None
+) -> DataFrame:
     # Underpartitioned input starves the tokenize stage of tasks: a
     # small-but-dense corpus parquet (few files / under
     # maxPartitionBytes splits) yields fewer input partitions than
@@ -90,9 +114,14 @@ def build_tokens(corpus: DataFrame, tokenizer: str = "arrow") -> DataFrame:
     # has >> cores splits and this guard never fires; the repartition
     # only pays (one corpus shuffle) when the input would otherwise
     # idle most of the cluster.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < par:
+    try:
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+        n_in = corpus.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no sparkContext/rdd — skip the guard
+        par = n_in = None
+    if n_in is not None and n_in < par:
         corpus = corpus.repartition(par * 2)
+    corpus = apply_analyzer(corpus, analyzer)
     if tokenizer == "arrow":
         return tokens_arrow(corpus)
     if tokenizer == "jvm":
@@ -186,6 +215,7 @@ def build_index(
     corpus: DataFrame,
     tokenizer: str = "arrow",
     shard_span: int = DEFAULT_SHARD_SPAN,
+    analyzer: str | None = None,
 ) -> IndexTables:
     """In-memory (un-checkpointed) build — the checkpointed, resumable
     variant lives in spcht_spark.plans.indexer.
@@ -193,10 +223,13 @@ def build_index(
     Tokens are materialized once (localCheckpoint): doclens, dictionary
     and blocks all branch from them, and without materialization each
     branch would re-run the tokenizer over the full corpus."""
-    tokens = build_tokens(corpus, tokenizer).localCheckpoint()
+    tokens = build_tokens(corpus, tokenizer, analyzer=analyzer).localCheckpoint()
     doclens = build_doclens(tokens)
     dictionary = build_dictionary(tokens)
     stats = build_stats(doclens)
     srow = stats.collect()[0]
     blocks = build_blocks(tokens, float(srow["avgdl"]), shard_span=shard_span)
-    return IndexTables(tokens, doclens, dictionary, stats, blocks)
+    return IndexTables(
+        tokens, doclens, dictionary, stats, blocks,
+        shard_span=shard_span, analyzer=analyzer,
+    )

@@ -49,7 +49,7 @@ def collapse_topk(
     ]
     query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
     postings = decode_blocks(blocks.filter(F.col("term").isin(list(idfs.keys()))))
-    scores = score_postings(postings, doclens, idfs, avgdl, query_terms)
+    scores = score_postings(postings, idfs, avgdl, query_terms)
     j = scores.join(
         attrs.select("doc_id", F.col(group_col).cast("string").alias("grp")),
         "doc_id",

@@ -35,7 +35,9 @@ def explain_scores(
 ) -> DataFrame:
     """(doc_id, term, tf, dl, df, idf, contrib) for every requested doc
     that contains a requested term. sum(contrib) over a doc's rows is
-    bit-identical to the engine's disjunctive score for these terms."""
+    bit-identical to the engine's disjunctive score for these terms.
+    ``doclens`` is accepted for API symmetry but unused — dl comes off
+    the decoded blocks."""
     stats_row = stats.collect()[0]
     avgdl = float(stats_row["avgdl"])
     idfs = query_idfs(dictionary, stats_row, sorted(set(terms)))
@@ -55,8 +57,7 @@ def explain_scores(
         *[x for t, v in sorted(idfs.items()) for x in (F.lit(t), F.lit(v))]
     )
     return (
-        postings.join(doclens, "doc_id")
-        .join(F.broadcast(dictionary.select("term", "df")), "term")
+        postings.join(F.broadcast(dictionary.select("term", "df")), "term")
         .withColumn("idf", idf_map[F.col("term")])
         .withColumn(
             "contrib",

@@ -75,10 +75,14 @@ def facet_counts(
 ) -> DataFrame:
     """(query_id, field, value, n) — per-query facet counts.
 
-    ``facets`` maps a facet name to a Column over ``attrs`` producing
-    the bucket value (a plain column for ``facet.field``, a bucket
-    expression like ``F.floor(F.col("n_chars")/100)*100`` for
-    ``facet.range``). ``doc_filter`` is Solr fq: a (doc_id) DataFrame
+    ``facets`` maps a facet name to either a Column over ``attrs``
+    producing the bucket value (a plain column for ``facet.field``, a
+    bucket expression like ``F.floor(F.col("n_chars")/100)*100`` for
+    ``facet.range``) or a ``(Column, [attr_col, ...])`` tuple naming
+    the attrs columns the expression reads — the explicit form prunes
+    the attrs join input without any plan-string introspection (prefer
+    it; the bare-Column form falls back to a best-effort sniff).
+    ``doc_filter`` is Solr fq: a (doc_id) DataFrame
     restricting the countable docs (semi-join on ids — narrow).
     ``match`` overrides the default disjunctive matching set with a
     caller-computed (query_id, doc_id) frame — e.g. the admissible set
@@ -94,16 +98,24 @@ def facet_counts(
         match = match.select("query_id", "doc_id")
     if doc_filter is not None:
         match = match.join(doc_filter.select("doc_id"), "doc_id", "semi")
+    specs = {
+        name: (v if isinstance(v, tuple) else (v, None))
+        for name, v in facets.items()
+    }
     need = ["doc_id"] + sorted(
-        {c for col in facets.values() for c in _referenced(attrs, col)}
+        {
+            c
+            for col, cols in specs.values()
+            for c in (cols if cols is not None else _referenced(attrs, col))
+        }
     )
     joined = match.join(attrs.select(*[c for c in need]), "doc_id")
 
     outs = []
-    for name in sorted(facets):
+    for name in sorted(specs):
         outs.append(
             joined.groupBy(
-                "query_id", facets[name].cast("string").alias("value")
+                "query_id", specs[name][0].cast("string").alias("value")
             )
             .agg(F.count(F.lit(1)).alias("n"))
             .select(

@@ -81,7 +81,7 @@ def fielded_topk(
         postings = decode_blocks(
             idx.blocks.filter(F.col("term").isin(list(idfs.keys())))
         )
-        scores = score_postings(postings, idx.doclens, idfs, avgdl, query_terms)
+        scores = score_postings(postings, idfs, avgdl, query_terms)
         parts.append(
             scores.select(
                 "query_id",

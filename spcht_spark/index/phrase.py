@@ -128,9 +128,13 @@ def build_positional_index(
     corpus: DataFrame,
     mode: str = "arrow",
     shard_span: int = DEFAULT_SHARD_SPAN,
+    analyzer: str | None = None,
 ) -> IndexTables:
     """In-memory positional build (tokens → stats → positional blocks).
     Dictionary/doclens are derived exactly as the default build."""
+    from spcht_spark.index.build import apply_analyzer
+
+    corpus = apply_analyzer(corpus, analyzer)
     tokens = tokens_positional(corpus, mode).localCheckpoint()
     doclens = tokens.groupBy("doc_id").agg(F.max("dl").alias("dl"))
     dictionary = tokens.groupBy("term").agg(
@@ -139,7 +143,10 @@ def build_positional_index(
     stats = build_stats(doclens)
     avgdl = float(stats.collect()[0]["avgdl"])
     blocks = build_positional_blocks(tokens, avgdl, shard_span=shard_span)
-    return IndexTables(tokens, doclens, dictionary, stats, blocks)
+    return IndexTables(
+        tokens, doclens, dictionary, stats, blocks,
+        shard_span=shard_span, analyzer=analyzer,
+    )
 
 
 class _PosCursor:

@@ -6,7 +6,8 @@ Two paths, both rank-identical to the pure-Python oracle:
   Plan shape: dictionary lookup driver-side (the ≤ handful of query
   terms; idf computed in Python so it is bit-identical to the oracle) →
   block scan with ``term IN (...)`` pushed to parquet → Arrow decode UDF
-  → doclens join → per-term contribution (pure Catalyst doubles) →
+  (docs/tfs/dls lanes — dl rides the block, no doclens join) → per-term
+  contribution (pure Catalyst doubles) →
   deterministic term-ordered summation → per-query top-k window.
 * :func:`wand_topk` (spcht_spark.index.wand) — block-max WAND: skips
   decoding blocks whose upper bound cannot reach the current kth score.
@@ -31,6 +32,7 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("term", T.StringType(), False),
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("tf", T.LongType(), False),
+        T.StructField("dl", T.LongType(), False),
     ]
 )
 
@@ -45,22 +47,39 @@ TOPK_SCHEMA = T.StructType(
 
 
 def decode_blocks(blocks: DataFrame) -> DataFrame:
-    """blocks → flat (term, doc_id, tf) via Arrow-batched numpy decode."""
+    """blocks → flat (term, doc_id, tf, dl) via Arrow-batched numpy decode.
+
+    The doc-length lane (``dls_bin``, carried in every block since the
+    build computes dl map-side) is decoded alongside docs/tfs, so every
+    consumer scores WITHOUT a postings⋈doclens equi-join — at 10^12 docs
+    that join was an Exchange of the full decoded posting stream
+    (round-3 VERDICT "What's wrong" #3)."""
+    from spcht_spark.index.compress import varbyte_decode
 
     def dec(batches):
         for pdf in batches:
             outs = []
-            for term, dbin, tbin in zip(pdf["term"], pdf["docs_bin"], pdf["tfs_bin"]):
+            for term, dbin, tbin, lbin in zip(
+                pdf["term"], pdf["docs_bin"], pdf["tfs_bin"], pdf["dls_bin"]
+            ):
                 docs, tfs = decode_postings_block(dbin, tbin)
+                dls = varbyte_decode(lbin).astype("int64")
                 outs.append(
                     pd.DataFrame(
-                        {"term": term, "doc_id": docs.astype("int64"), "tf": tfs.astype("int64")}
+                        {
+                            "term": term,
+                            "doc_id": docs.astype("int64"),
+                            "tf": tfs.astype("int64"),
+                            "dl": dls,
+                        }
                     )
                 )
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return blocks.select("term", "docs_bin", "tfs_bin").mapInPandas(dec, schema=POSTINGS_SCHEMA)
+    return blocks.select("term", "docs_bin", "tfs_bin", "dls_bin").mapInPandas(
+        dec, schema=POSTINGS_SCHEMA
+    )
 
 
 def query_idfs(
@@ -78,19 +97,18 @@ def query_idfs(
 
 def score_postings(
     postings: DataFrame,
-    doclens: DataFrame,
     idfs: dict[str, float],
     avgdl: float,
     query_terms: DataFrame,
 ) -> DataFrame:
     """(query_id, doc_id, score): contribution expression mirrors
-    spcht_spark.oracle.term_score verbatim; summation is term-ordered."""
+    spcht_spark.oracle.term_score verbatim; summation is term-ordered.
+    ``postings`` must carry dl (decode_blocks does) — no doclens join."""
     if not idfs:
         raise ValueError("score_postings requires at least one known term")
     idf_map = F.create_map(*[x for t, v in sorted(idfs.items()) for x in (F.lit(t), F.lit(v))])
     contrib = (
-        postings.join(doclens, "doc_id")
-        .join(query_terms, "term")  # (term, query_id); small → broadcast by AQE
+        postings.join(query_terms, "term")  # (term, query_id); small → broadcast by AQE
         .withColumn("idf", idf_map[F.col("term")])
         .withColumn(
             "contrib",
@@ -165,6 +183,10 @@ def exact_topk(
 
     ``term IN (...)`` is applied before decode so parquet row-group
     min/max stats on the sorted term column prune the block scan.
+
+    ``doclens`` is accepted for API symmetry with IndexTables but no
+    longer joined: blocks carry the dl lane and decode_blocks surfaces
+    it, removing the postings-wide Exchange.
     """
     stats_row = stats.collect()[0]
     avgdl = float(stats_row["avgdl"])
@@ -185,7 +207,7 @@ def exact_topk(
 
     hit_blocks = blocks.filter(F.col("term").isin(list(idfs.keys())))
     postings = decode_blocks(hit_blocks)
-    scores = score_postings(postings, doclens, idfs, avgdl, query_terms)
+    scores = score_postings(postings, idfs, avgdl, query_terms)
     if doc_filter is not None:
         scores = scores.join(doc_filter.select("doc_id"), "doc_id", "semi")
     if mode == "and":

@@ -25,7 +25,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spcht_spark.index.boolean import ast_terms, boolean_matches, parse_query
+from spcht_spark.index.boolean import (
+    ast_terms,
+    boolean_matches,
+    boolean_topk,
+    expand_fuzzy_ast,
+    parse_query,
+    positive_terms,
+)
 from spcht_spark.index.build import IndexTables
 from spcht_spark.index.facets import facet_counts, field_stats
 from spcht_spark.index.highlight import highlight
@@ -45,7 +52,10 @@ class SearchRequest:
                                              # or a metadata-only fq string
                                              # ("lang:en AND n:[2 TO *]")
     fl: list[str] = field(default_factory=list)  # stored fields to return
-    facets: dict[str, Column] | None = None  # facet.field / facet.range
+    facets: dict[str, Column] | None = None  # facet.field / facet.range;
+                                             # values may be (Column,
+                                             # [attr_cols]) to prune the
+                                             # attrs join explicitly
     stats_field: str | None = None           # stats.field
     hl: bool = False                         # highlight
     hl_window: int = 4
@@ -68,8 +78,19 @@ def search(
     content_col: str = "content",
 ) -> SearchResponse:
     """Execute one request. ``doc_store`` provides stored fields (fl),
-    highlight content, and facet/stats attributes."""
-    ast = parse_query(request.q)
+    highlight content, and facet/stats attributes. Query terms are
+    analyzed with the INDEX's analyzer (``index.analyzer``) — one
+    analyzer chain at build and query time, Solr semantics.
+
+    Hits-only requests (no facet/stats component) route through
+    :func:`boolean_topk`'s pruned execution — flat pure-positive
+    queries answer via block-max WAND / skipping AND instead of
+    decoding the full matching set; components that genuinely need the
+    whole DocSet (facets, stats) keep the full match pass and share it
+    (one parsed query, one match pass — Solr's shared DocSet)."""
+    ast = expand_fuzzy_ast(
+        parse_query(request.q, index.analyzer), index.dictionary
+    )
     terms = sorted(ast_terms(ast))
     attrs = (
         doc_store
@@ -82,22 +103,36 @@ def search(
 
         fq = fq_filter(attrs, fq)
 
-    matches = boolean_matches(
-        spark,
-        index.blocks,
-        index.doclens,
-        index.dictionary,
-        index.stats,
-        [(query_id, request.q, request.k)],
-        doc_filter=fq,
-        attrs=attrs,  # enables field:value / field:[lo TO hi] clauses in q
-    )
+    matches = None
     n_components = 1 + bool(request.facets) + bool(request.stats_field)
-    if n_components > 1:
+    if n_components == 1:
+        hits = boolean_topk(
+            spark,
+            index.blocks,
+            index.doclens,
+            index.dictionary,
+            index.stats,
+            [(query_id, request.q, request.start + request.k)],
+            doc_filter=fq,
+            attrs=attrs,  # enables field:value / field:[lo TO hi] clauses in q
+            analyzer=index.analyzer,
+            shard_span=index.shard_span,
+        )
+    else:
+        matches = boolean_matches(
+            spark,
+            index.blocks,
+            index.doclens,
+            index.dictionary,
+            index.stats,
+            [(query_id, request.q, request.k)],
+            doc_filter=fq,
+            attrs=attrs,
+            analyzer=index.analyzer,
+        )
         # one match pass feeds hits + facets + stats (Solr's shared DocSet)
         matches = matches.localCheckpoint(eager=False)
-
-    hits = topk(matches, {query_id: request.start + request.k})
+        hits = topk(matches, {query_id: request.start + request.k})
     if request.start:
         # Solr start=N: keep absolute ranks, drop the first N rows
         hits = hits.filter(F.col("rank") > request.start)
@@ -107,8 +142,12 @@ def search(
             "query_id", "rank", "doc_id", "score", *request.fl
         )
     if request.hl:
+        # Snippets anchor on POSITIVE clauses only — Solr never
+        # <em>-wraps a MUST_NOT term that happens to appear in a doc
+        # matched via another branch (ADVICE r3).
         hits = highlight(
-            hits, doc_store, [(query_id, terms)], window=request.hl_window,
+            hits, doc_store, [(query_id, sorted(positive_terms(ast)))],
+            window=request.hl_window,
             id_col=id_col, content_col=content_col,
         )
 

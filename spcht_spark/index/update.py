@@ -24,6 +24,11 @@ Scale design (the 100 TB case — a full rebuild per delta is not viable):
 * The dictionary merges df/cf deltas (exact integer arithmetic) instead
   of re-aggregating the full token table; stats re-aggregate doclens
   (one narrow map-side-partial agg).
+* The tokens table is OPTIONAL: when absent (`IndexTables.tokens is
+  None` — e.g. the stage was deleted after commit to reclaim the
+  build's largest artifact), the delta's old postings are recovered by
+  decoding only the touched shards' covering blocks — same rows, same
+  bytes out, no corpus-sized state retained forever.
 
 Equivalence contract (pinned in tests/test_index_update.py): for any
 delta, ``update_index(build_index(base), delta)`` equals
@@ -127,7 +132,20 @@ def update_index(
     Reference semantics: delete-then-reinsert per incoming doc
     (WorkOrder.py:875-942) — a changed doc's old postings are purged
     before its new ones land, so re-sending an identical doc is
-    idempotent."""
+    idempotent.
+
+    The retained tokens table is OPTIONAL (round-3 VERDICT "Next round"
+    #5 — at 10^12 docs it outweighs the compressed index itself). With
+    ``idx.tokens is None`` the delta's old postings are recovered by
+    decoding blocks: doc → shard is a pure function, so (1) the covering
+    blocks of the touched ids (shard equi-join + first_doc/last_doc
+    range prune on block METADATA) yield the removed postings, and
+    (2) the touched (term, shard) groups' blocks decode to exactly the
+    (doc_id, term, tf, dl) rows a retained tokens table would have
+    supplied — bit-identical rebuild either way (pinned in
+    tests/test_index_update.py)."""
+    from spcht_spark.index.query import decode_blocks
+
     changed = changed.select("doc_id", "content")
     touched_ids = changed.select("doc_id")
     if deleted is not None:
@@ -138,12 +156,27 @@ def update_index(
 
     # Old postings of every touched doc — these leave the index (and
     # their (term, shard) groups must be rebuilt).
-    removed_tokens = idx.tokens.join(touched_ids, "doc_id", "semi").localCheckpoint()
-    added_tokens = build_tokens(changed, tokenizer).localCheckpoint()
+    if idx.tokens is not None:
+        removed_tokens = idx.tokens.join(
+            touched_ids, "doc_id", "semi"
+        ).localCheckpoint()
+    else:
+        spans = touched_ids.groupBy(
+            _shard(F.col("doc_id"), shard_span).alias("shard")
+        ).agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        covering = (
+            idx.blocks.join(F.broadcast(spans), "shard")
+            .filter((F.col("last_doc") >= F.col("lo")) & (F.col("first_doc") <= F.col("hi")))
+        )
+        removed_tokens = (
+            decode_blocks(covering)
+            .join(touched_ids, "doc_id", "semi")
+            .localCheckpoint()
+        )
+    added_tokens = build_tokens(
+        changed, tokenizer, analyzer=idx.analyzer
+    ).localCheckpoint()
 
-    new_tokens = (
-        idx.tokens.join(touched_ids, "doc_id", "anti").unionByName(added_tokens)
-    )
     new_doclens = (
         idx.doclens.join(touched_ids, "doc_id", "anti")
         .unionByName(build_doclens(added_tokens))
@@ -166,9 +199,21 @@ def update_index(
     # Rebuild ONLY the touched groups, from the full updated postings of
     # those groups (untouched docs' postings for a touched term+shard
     # included — they re-block with the new docs interleaved).
-    touched_tokens = new_tokens.withColumn(
-        "shard", _shard(F.col("doc_id"), shard_span)
-    ).join(touched_keys, ["term", "shard"], "semi").drop("shard")
+    cols = ["doc_id", "term", "tf", "dl"]
+    if idx.tokens is not None:
+        new_tokens = (
+            idx.tokens.join(touched_ids, "doc_id", "anti").unionByName(added_tokens)
+        )
+        touched_tokens = new_tokens.withColumn(
+            "shard", _shard(F.col("doc_id"), shard_span)
+        ).join(touched_keys, ["term", "shard"], "semi").drop("shard")
+    else:
+        new_tokens = None
+        group_blocks = idx.blocks.join(touched_keys, ["term", "shard"], "semi")
+        old_group = decode_blocks(group_blocks).join(touched_ids, "doc_id", "anti")
+        touched_tokens = old_group.select(*cols).unionByName(
+            added_tokens.select(*cols)
+        )
     rebuilt = build_blocks(
         touched_tokens, new_avgdl, shard_span=shard_span, block_size=block_size,
     )
@@ -183,6 +228,8 @@ def update_index(
         dictionary=new_dictionary,
         stats=new_stats,
         blocks=new_blocks,
+        shard_span=shard_span,
+        analyzer=idx.analyzer,
     )
 
 
@@ -219,12 +266,13 @@ def apply_update(
     n_deleted = deleted.count() if deleted is not None else 0
 
     stages = {
-        "tokens": new.tokens,
         "doclens": new.doclens,
         "dictionary": new.dictionary.sortWithinPartitions("term"),
         "stats": new.stats,
         "blocks": new.blocks.sortWithinPartitions("term", "shard", "block_seq"),
     }
+    if new.tokens is not None:  # tokens is an optional retained stage
+        stages["tokens"] = new.tokens
     stages["skew"] = skew_table(new.blocks).repartition(1)
     for name, df in stages.items():
         df.write.mode("overwrite").parquet(os.path.join(workdir, f"{name}.new"))

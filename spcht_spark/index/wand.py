@@ -266,11 +266,17 @@ def and_topk(
     dictionary: DataFrame,
     stats: DataFrame,
     queries: list[tuple[str, list[str], int]],
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Conjunctive (Lucene MUST) top-k over the block index: per-shard
     intersection with block skipping + exact global merge. A query term
     absent from the whole index empties that query (MUST semantics,
-    mirroring exact_topk mode='and' / oracle mode='and')."""
+    mirroring exact_topk mode='and' / oracle mode='and').
+
+    ``doc_filter`` (Solr fq): semi-join on the CANDIDATE rows before the
+    final top-k — exact under AND semantics because the per-shard
+    intersection scores every surviving doc exactly (no θ-dependent
+    pruning that an inadmissible doc could inflate)."""
     stats_row = stats.collect()[0]
     avgdl = float(stats_row["avgdl"])
     all_terms = sorted({t for _, ts, _ in queries for t in ts})
@@ -296,6 +302,8 @@ def and_topk(
         )
 
     cand = hit.groupBy("query_id", "shard").applyInPandas(run, schema=_CAND_SCHEMA)
+    if doc_filter is not None:
+        cand = cand.join(doc_filter.select("doc_id"), "doc_id", "semi")
     return topk(cand, ks)
 
 

@@ -63,6 +63,7 @@ def index_order(
     blocks_partitions: int | None = None,
     clock: Callable[[], float] = time.time,
     verify_sha256: bool = True,
+    analyzer: str | None = None,
 ) -> WorkOrder:
     def ingest(spark: SparkSession, outs) -> DataFrame:
         df = corpus_source(spark)
@@ -73,7 +74,7 @@ def index_order(
         return df
 
     def tokens(spark, outs):
-        return build_tokens(outs["ingest"], tokenizer)
+        return build_tokens(outs["ingest"], tokenizer, analyzer=analyzer)
 
     def doclens(spark, outs):
         return build_doclens(outs["tokens"])
@@ -107,7 +108,14 @@ def index_order(
         # evidence ships as part of the index, not a post-hoc query
         Stage("skew", skew, repartition=1),
     ]
-    return create_order(workdir, run_id, stages, clock)
+    return create_order(
+        workdir, run_id, stages, clock,
+        params={
+            "shard_span": shard_span,
+            "tokenizer": tokenizer,
+            "analyzer": analyzer,
+        },
+    )
 
 
 def run_index_order(spark: SparkSession, order: WorkOrder) -> IndexTables:
@@ -118,16 +126,31 @@ def run_index_order(spark: SparkSession, order: WorkOrder) -> IndexTables:
         dictionary=outs["dictionary"],
         stats=outs["stats"],
         blocks=outs["blocks"],
+        shard_span=order.params.get("shard_span"),
+        analyzer=order.params.get("analyzer"),
     )
 
 
 def load_index(spark: SparkSession, workdir: str) -> IndexTables:
-    """Open a committed index (resume-free read path)."""
+    """Open a committed index (resume-free read path). Build params
+    (shard_span, analyzer) come from the manifest so the query side
+    folds and shards exactly as the build did."""
+    import json
+    import os
+
     rd = lambda s: spark.read.parquet(f"{workdir}/{s}")
+    params = {}
+    mpath = os.path.join(workdir, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            params = json.load(fh).get("params", {})
+    tokens_dir = os.path.join(workdir, "tokens")
     return IndexTables(
-        tokens=rd("tokens"),
+        tokens=rd("tokens") if os.path.exists(tokens_dir) else None,
         doclens=rd("doclens"),
         dictionary=rd("dictionary"),
         stats=rd("stats"),
         blocks=rd("blocks"),
+        shard_span=params.get("shard_span"),
+        analyzer=params.get("analyzer"),
     )

@@ -66,6 +66,10 @@ class WorkOrder:
     run_id: str
     stages: list[Stage]
     clock: Callable[[], float] = time.time  # injectable (FIXTURES.md F3)
+    # build parameters recorded in the manifest (e.g. shard_span,
+    # tokenizer, analyzer) so a reader of the committed artifact knows
+    # how to query it — query-time folding MUST match the build's.
+    params: dict = field(default_factory=dict)
 
     @property
     def manifest_path(self) -> str:
@@ -80,17 +84,19 @@ def create_order(
     run_id: str,
     stages: list[Stage],
     clock: Callable[[], float] = time.time,
+    params: dict | None = None,
 ) -> WorkOrder:
     """W1: init manifest at status CREATED (never overwrites an existing
     order — that is what resume is for)."""
     os.makedirs(workdir, exist_ok=True)
-    order = WorkOrder(workdir, run_id, stages, clock)
+    order = WorkOrder(workdir, run_id, stages, clock, params or {})
     if not os.path.exists(order.manifest_path):
         _write_manifest(
             order,
             {
                 "run_id": run_id,
                 "status": Status.CREATED,
+                "params": order.params,
                 "stages": {s.name: {"status": Status.CREATED} for s in stages},
             },
         )

@@ -38,17 +38,36 @@ def test_parse_not_and_minus():
     )
 
 
-def test_parse_parens_and_case_normalization():
+def test_parse_parens_case_preserving_default():
+    # Default analyzer is case-preserving — the index build never folds
+    # case (source code: `Return` != `return`), so neither may the
+    # parser (round-3 VERDICT "What's wrong" #1).
     ast = parse_query("(X OR y) AND NOT (z AND w)")
     assert ast == (
         "and",
         [
-            ("or", [("term", "x"), ("term", "y")]),
+            ("or", [("term", "X"), ("term", "y")]),
             ("not", ("and", [("term", "z"), ("term", "w")])),
         ],
     )
-    assert ast_terms(ast) == {"x", "y", "z", "w"}
-    assert positive_terms(ast) == {"x", "y"}
+    assert ast_terms(ast) == {"X", "y", "z", "w"}
+    assert positive_terms(ast) == {"X", "y"}
+
+
+def test_parse_lowercase_analyzer_folds():
+    ast = parse_query("(X OR y) AND -Wzz^2.5 AND -Neg", analyzer="lowercase")
+    assert ast == (
+        "and",
+        [
+            ("or", [("term", "x"), ("term", "y")]),
+            ("not", ("term", "wzz")),
+            ("not", ("term", "neg")),
+        ],
+    )
+    # attr field/value are never folded
+    assert parse_query("a AND Lang:EN", analyzer="lowercase") == (
+        "and", [("term", "a"), ("eq", "Lang", "EN")]
+    )
 
 
 @pytest.mark.parametrize(
@@ -198,13 +217,30 @@ def test_parse_attr_clauses():
         "lang:en",                      # attr alone cannot drive retrieval
         "a OR lang:en",                 # an attr-only branch
         "a OR NOT n:[1 TO 2]",          # attr-only branch (negated)
-        "a AND n:[x TO 2]",             # non-numeric bound
         "a AND n:[1 2]",                # malformed range
     ],
 )
 def test_attr_rejects(bad):
     with pytest.raises(QueryParseError):
         parse_query(bad)
+
+
+def test_parse_string_range_bounds():
+    # Non-numeric bounds make a LEXICOGRAPHIC string range — the
+    # reference's datetime pattern (WorkOrder.py:702-707) parses as-is.
+    assert parse_query("a AND last:[2021-01-01T00:00:00Z TO *]") == (
+        "and", [("term", "a"), ("range", "last", "2021-01-01T00:00:00Z", None)]
+    )
+    # mixed bounds: any non-numeric closed bound → both compared as text
+    assert parse_query("a AND v:[1 TO x]") == (
+        "and", [("term", "a"), ("range", "v", "1", "x")]
+    )
+    ast = parse_query("a AND last:[2021-01-01 TO 2022-01-01]")
+    assert eval_ast(ast, frozenset({"a"}), {"last": "2021-06-15"})
+    assert not eval_ast(ast, frozenset({"a"}), {"last": "2022-06-15"})
+    sql = ast_to_duckdb(ast)
+    assert "d.last::VARCHAR >= '2021-01-01'" in sql
+    assert "d.last::VARCHAR <= '2022-01-01'" in sql
 
 
 def test_eval_ast_with_attrs():
@@ -219,8 +255,10 @@ def test_eval_ast_with_attrs():
 
 def test_attr_duckdb_sql_shape():
     sql = ast_to_duckdb(parse_query("a AND n:[1 TO 2] AND -lang:zh"))
-    assert "d.n::DOUBLE >= 1.0" in sql and "d.n::DOUBLE <= 2.0" in sql
-    assert "(NOT (d.lang::VARCHAR = 'zh'))" in sql
+    # COALESCE(..., FALSE): missing/NULL attrs satisfy no clause, so
+    # NOT-over-missing matches (Solr absence semantics) in DuckDB too.
+    assert "COALESCE(d.n::DOUBLE >= 1.0 AND d.n::DOUBLE <= 2.0, FALSE)" in sql
+    assert "(NOT COALESCE(d.lang::VARCHAR = 'zh', FALSE))" in sql
 
 
 def test_boolean_topk_requires_attrs_table(spark, small_index):

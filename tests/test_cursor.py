@@ -48,3 +48,57 @@ def test_paged_scan_exhausts_early(spark, small_corpus_pd, small_corpus, small_i
     ).collect()
     assert len(got) == n_match
     assert all(r["page"] == 0 for r in got)
+
+
+def _expected_pages_typed(pdf, queries, page_size, n_pages, sort_of):
+    toks = {int(r.doc_id): set(tokenize_py(r.content)) for r in pdf.itertuples()}
+    svs = {int(r.doc_id): sort_of(r) for r in pdf.itertuples()}
+    out = []
+    for qid, terms in queries:
+        m = sorted(((svs[d], d) for d, s in toks.items() if s & set(terms)))
+        for i, (sv, d) in enumerate(m[: page_size * n_pages]):
+            out.append((qid, i // page_size, i % page_size + 1, d, sv))
+    return sorted(out)
+
+
+def test_paged_scan_double_sort_key(spark, small_corpus_pd, small_corpus, small_index):
+    """Typed cursorMark: a FLOAT docValues sort pages identically to the
+    offset-window oracle (round-3 VERDICT 'What's missing' #3)."""
+    queries = [("cpd", ["return", "if"])]
+    # a float with heavy ties (rounded ratio) to exercise the tie-break arm
+    attrs = small_corpus.select(
+        "doc_id",
+        F.round(F.length("content") / F.lit(7.0), 1).alias("ratio"),
+    )
+    got = paged_scan(
+        spark, small_index.blocks, queries, attrs, "ratio",
+        page_size=9, n_pages=3, sort_type="double",
+    ).collect()
+    got_t = sorted(
+        (r["query_id"], r["page"], r["pos"], r["doc_id"], r["sort_value"])
+        for r in got
+    )
+    want = _expected_pages_typed(
+        small_corpus_pd, queries, 9, 3,
+        lambda r: round(len(r.content) / 7.0, 1),
+    )
+    assert got_t == want
+
+
+def test_paged_scan_string_sort_key(spark, small_corpus_pd, small_corpus, small_index):
+    """Typed cursorMark: a STRING docValues sort (e.g. path) pages in
+    lexicographic order with (sort, doc_id) keyset resumption."""
+    queries = [("cps", ["return", "if"])]
+    attrs = small_corpus.select("doc_id", "path")
+    got = paged_scan(
+        spark, small_index.blocks, queries, attrs, "path",
+        page_size=9, n_pages=3, sort_type="string",
+    ).collect()
+    got_t = sorted(
+        (r["query_id"], r["page"], r["pos"], r["doc_id"], r["sort_value"])
+        for r in got
+    )
+    want = _expected_pages_typed(
+        small_corpus_pd, queries, 9, 3, lambda r: r.path,
+    )
+    assert got_t == want

@@ -22,7 +22,7 @@ def _canon(df, keys):
     return pdf.sort_values(keys).reset_index(drop=True)[sorted(pdf.columns)]
 
 
-def _assert_tables_equal(full, incr):
+def _assert_tables_equal(full, incr, skip=()):
     for name, keys in [
         ("tokens", ["doc_id", "term"]),
         ("doclens", ["doc_id"]),
@@ -30,6 +30,8 @@ def _assert_tables_equal(full, incr):
         ("stats", ["n_docs"]),
         ("blocks", ["term", "shard", "block_seq"]),
     ]:
+        if name in skip:
+            continue
         a = _canon(getattr(full, name), keys)
         b = _canon(getattr(incr, name), keys)
         assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
@@ -76,6 +78,47 @@ def test_incremental_equals_full_rebuild(spark, small_corpus, delta_setup):
     incr = update_index(spark, base_idx, changed, deleted, shard_span=SPAN)
     full = build_index(spark, small_corpus, shard_span=SPAN)
     _assert_tables_equal(full, incr)
+
+
+def test_incremental_without_tokens_stage(spark, small_corpus, delta_setup):
+    """The tokens table is optional state: with it deleted, the update
+    recovers the delta's old postings by decoding the touched shards'
+    blocks — and every remaining table still matches the full rebuild
+    bit-for-bit (round-3 VERDICT "Next round" #5)."""
+    import dataclasses
+
+    base, changed, deleted = delta_setup
+    base_idx = dataclasses.replace(
+        build_index(spark, base, shard_span=SPAN), tokens=None
+    )
+    incr = update_index(spark, base_idx, changed, deleted, shard_span=SPAN)
+    assert incr.tokens is None
+    full = build_index(spark, small_corpus, shard_span=SPAN)
+    _assert_tables_equal(full, incr, skip=("tokens",))
+
+
+def test_apply_update_without_tokens_dir(spark, small_corpus, delta_setup, tmp_path):
+    """Committed-index update after the tokens stage dir was deleted:
+    load → decode-fallback update → swap; reloaded index matches the
+    full rebuild on every remaining table."""
+    import shutil
+
+    from spcht_spark.index.update import apply_update
+    from spcht_spark.plans.indexer import index_order, run_index_order
+
+    base, changed, deleted = delta_setup
+    workdir = str(tmp_path / "idx_notok")
+    order = index_order(
+        workdir, "t-base", lambda s: base, shard_span=SPAN, verify_sha256=False
+    )
+    run_index_order(spark, order)
+    shutil.rmtree(f"{workdir}/tokens")
+    updated = apply_update(
+        spark, workdir, changed, deleted, shard_span=SPAN, run_id="t-delta"
+    )
+    assert updated.tokens is None
+    full = build_index(spark, small_corpus, shard_span=SPAN)
+    _assert_tables_equal(full, updated, skip=("tokens",))
 
 
 def test_update_is_idempotent(spark, small_corpus, delta_setup):

@@ -138,3 +138,49 @@ def test_cli_write_triples_and_table(spark, tmp_path):
     assert set(back.columns) == {
         "subject", "predicate", "object", "object_is_uri", "lang", "datatype"
     }
+
+
+def test_trig_golden(golden):
+    from spcht_spark.descriptor.rdf import serialize_rdf
+
+    got = serialize_rdf(golden, "trig", graph="urn:g1")
+    expected = """@prefix ns1: <https://schema.org/> .
+
+<urn:g1> {
+ns1:adress ns1:cat "Miau",
+        "english"@en .
+
+}
+"""
+    assert got == expected
+
+
+def test_trix_golden_and_shape(golden):
+    from spcht_spark.descriptor.rdf import serialize_rdf, triples_to_trix
+
+    got = serialize_rdf(golden, "trix", graph="urn:g1")
+    assert got.startswith('<?xml version="1.0" encoding="utf-8"?>\n<TriX ')
+    assert got.rstrip().endswith("</TriX>")
+    assert "<uri>urn:g1</uri>" in got
+    assert '<plainLiteral xml:lang="en">english</plainLiteral>' in got
+    assert "<plainLiteral>Miau</plainLiteral>" in got
+    assert got.count("<triple>") == got.count("</triple>") == 2
+    # zero-shuffle contract: per-triple serialization, no groupBy
+    _h, body, _f = triples_to_trix(golden, "urn:g1")
+    assert "Exchange" not in body._jdf.queryExecution().executedPlan().toString()
+
+
+def test_trig_trix_write_roundtrip(spark, golden, tmp_path):
+    from spcht_spark.descriptor.rdf import write_rdf
+
+    for fmt in ("trig", "trix"):
+        out = str(tmp_path / fmt)
+        write_rdf(golden, out, fmt=fmt, graph="urn:g1")
+        parts = sorted(glob.glob(f"{out}/part-*"))
+        text = "".join(open(p).read() for p in parts)
+        if fmt == "trig":
+            assert text.startswith("@prefix")
+            assert text.rstrip().endswith("}")
+        else:
+            assert text.startswith('<?xml')
+            assert text.rstrip().endswith("</TriX>")
