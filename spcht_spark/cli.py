@@ -46,6 +46,7 @@ def _order_for(args):
         args.workdir, args.run_id, source,
         tokenizer=args.tokenizer, shard_span=args.shard_span,
         verify_sha256=not args.no_verify_sha256,
+        analyzer=args.analyzer,
     )
 
 
@@ -65,6 +66,11 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--tokenizer", choices=["arrow", "jvm"], default="arrow")
         sp.add_argument("--shard-span", type=int, default=1 << 17)
         sp.add_argument("--no-verify-sha256", action="store_true")
+        sp.add_argument("--analyzer", default=None,
+                        help="analyzer chain, e.g. lowercase or "
+                             "lowercase,stop,sstem (default: case-"
+                             "preserving, no filters); recorded in the "
+                             "manifest and re-applied by query/search")
 
     sp = sub.add_parser("check-order")
     sp.add_argument("workdir")
@@ -268,6 +274,12 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"stats": r.asDict()}, default=str))
     elif args.verb == "query":
         idx = load_index(spark, args.workdir)
+        if idx.analyzer:
+            # fold terms exactly as the build did (manifest-recorded)
+            from spcht_spark.index.boolean import _fold_fn
+
+            fold = _fold_fn(idx.analyzer)
+            args.terms = [fold(t) for t in args.terms]
         q = [("q", args.terms, args.k)]
         if args.engine == "wand" and args.mode == "or":
             out = wand_topk(spark, idx.blocks, idx.dictionary, idx.stats, q)

@@ -881,6 +881,108 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
 """
 
 
+_ANALYZED_SPEC = "lowercase,stop,sstem"
+# Mixed-case / plural query forms: the analyzer chain must fold them to
+# the index's folded vocabulary (windows→window, Joins→join, …).
+DOC_ANALYZED_QUERIES: list[tuple[str, list[str]]] = [
+    ("az_mixed", ["Windows", "Joins"]),
+    ("az_plural", ["hashes", "streams"]),
+    ("az_stop", ["the", "customer"]),  # stopword term matches nothing
+]
+
+
+def _persisted_analyzed_index(spark: SparkSession, sf_dir: str):
+    """Analyzer-chain twin of _persisted_index (lowercase + stopword
+    removal + S-stemming at build; the same chain folds query terms).
+    Built once per source fingerprint, committed term-sorted."""
+    from spcht_spark.index.build import IndexTables, build_index
+
+    key = _source_fingerprint(sf_dir)
+    root = os.path.join(_INDEX_CACHE_ROOT, f"az-{key}")
+    names = ("blocks", "doclens", "dictionary", "stats")
+    if not all(
+        os.path.exists(os.path.join(root, n, "_SUCCESS")) for n in names
+    ):
+        idx = build_index(
+            spark, _index_corpus(spark, sf_dir), tokenizer="ws",
+            shard_span=_INDEX_SHARD_SPAN, analyzer=_ANALYZED_SPEC,
+        )
+        idx.blocks.sortWithinPartitions("term").write.mode("overwrite").parquet(
+            os.path.join(root, "blocks")
+        )
+        for n in ("doclens", "dictionary", "stats"):
+            getattr(idx, n).write.mode("overwrite").parquet(os.path.join(root, n))
+    t = {n: spark.read.parquet(os.path.join(root, n)) for n in names}
+    return IndexTables(
+        None, t["doclens"], t["dictionary"], t["stats"], t["blocks"],
+        shard_span=_INDEX_SHARD_SPAN, analyzer=_ANALYZED_SPEC,
+    )
+
+
+def _az_fold(term: str) -> str:
+    from spcht_spark.index.analyze import fold_token_py
+
+    out = fold_token_py(term.lower(), _ANALYZED_SPEC)
+    return term.lower() if out is None else out
+
+
+def q_index_analyzed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the ANALYZED index (Solr analyzer-chain parity): the
+    corpus is lowercased, stopword-filtered and S-stemmed at build —
+    affecting postings, doc lengths, avgdl and idf — and query terms
+    fold through the IDENTICAL chain, so `Windows` retrieves docs
+    containing `window`/`windows`. The DuckDB oracle re-implements the
+    chain in SQL (spcht_spark.index.analyze.fold_token_sql), so the
+    whole analyze→index→score pipeline is value-checked end-to-end."""
+    from spcht_spark.index.query import exact_topk
+
+    idx = _persisted_analyzed_index(spark, sf_dir)
+    qs = [
+        (qid, [_az_fold(t) for t in ts], DOC_K + 5)
+        for qid, ts in DOC_ANALYZED_QUERIES
+    ]
+    out = exact_topk(spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, qs)
+    return _rerank_rounded(out)
+
+
+def _analyzed_bm25_sql() -> str:
+    from spcht_spark.index.analyze import fold_token_sql
+
+    vals = ", ".join(
+        f"('{qid}', '{_az_fold(t)}')"
+        for qid, ts in DOC_ANALYZED_QUERIES
+        for t in sorted(set(ts))
+    )
+    fold_expr = fold_token_sql("lower(raw)", _ANALYZED_SPEC)
+    return f"""
+WITH rawtok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS raw FROM documents),
+  tok AS (SELECT doc_id, {fold_expr} AS term
+          FROM rawtok WHERE raw <> ''),
+  tf AS (SELECT doc_id, term, count(*) AS tf
+         FROM tok WHERE term IS NOT NULL GROUP BY doc_id, term),
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
+"""
+
+
 # (query_id, 'term~d') — distance-bounded fuzzy terms over the corpus
 # vocabulary: transposition (spakr→spark, d=2 plain Levenshtein),
 # deletion (windw→window, d=1), and an exact term with a fuzzy budget.
@@ -2110,6 +2212,33 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, oracled by its DECISION like the LSH entry: with
+    nprobe == n_cells every inverted list is probed, so the returned
+    set must equal the exact brute-force top-k the DuckDB oracle
+    computes — the gate checks the cell assignment + probe + rescoring
+    machinery end-to-end (recall@k = 1.0 by construction here; the
+    nprobe < n_cells recall-vs-cost tradeoff is gated in pytest)."""
+    from spcht_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    out = ivf_topk(
+        emb, q, k=8, n_cells=8, nprobe=8, sample=512,
+    ).filter(F.col("q_id") != F.col("vec_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc(F.round("cos", 6)), F.asc("vec_id"))
+    return (
+        out.withColumn("rnk2", F.row_number().over(w))
+        .filter(F.col("rnk2") <= 5)
+        .select(
+            "q_id", F.col("rnk2").alias("rnk"), "vec_id",
+            F.round("cos", 4).alias("cos_sim"),
+        )
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint, md5 variant: the lexicographic min
     over rolling-window hashes is value-checked by the DuckDB oracle."""
@@ -2188,6 +2317,7 @@ _ALL_QUERIES = {
     "index_fielded_topk": q_index_fielded_topk,
     "index_prefix_topk": q_index_prefix_topk,
     "index_fuzzy_topk": q_index_fuzzy_topk,
+    "index_analyzed_topk": q_index_analyzed_topk,
     "index_collapse": q_index_collapse,
     "index_stats_field": q_index_stats_field,
     "index_suggest": q_index_suggest,
@@ -2228,6 +2358,7 @@ _ALL_QUERIES = {
     "minhash_dedup_bounded": q_minhash_dedup_bounded,
     "simhash": q_simhash,
     "embedding_ann_lsh": q_embedding_ann_lsh,
+    "embedding_ann_ivf": q_embedding_ann_ivf,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_features": q_multimodal_features,
 }
@@ -2248,6 +2379,8 @@ OVERFLOW_QUERY_NAMES = [
     "cut_replace_prepend_append",
     "alternatives_coalesce",
     "if_numeric_gate",
+    "embedding_ann_ivf",
+    "index_analyzed_topk",
 ]
 DRIVER_QUERY_NAMES = [
     n for n in _ALL_QUERIES if n not in OVERFLOW_QUERY_NAMES
@@ -2275,6 +2408,7 @@ ORACLES = {
     "index_fielded_topk": _fielded_bm25_sql(),
     "index_prefix_topk": _prefix_bm25_sql(),
     "index_fuzzy_topk": _fuzzy_bm25_sql(),
+    "index_analyzed_topk": _analyzed_bm25_sql(),
     "index_collapse": _collapse_sql(),
     "index_stats_field": _stats_field_sql(),
     "index_suggest": _suggest_sql(),
@@ -2317,6 +2451,7 @@ ORACLES = {
     "minhash_dedup_bounded": Q_MINHASH_DEDUP_SQL,  # bounded == exact on oracle data
     "simhash": Q_SIMHASH_SQL,  # md5 bit lanes, value-exact
     "embedding_ann_lsh": Q_COSINE_SQL,  # ANN result vs exact top-k (recall=1)
+    "embedding_ann_ivf": Q_COSINE_SQL,  # all-cells probe == exact top-k
     "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,  # md5 min-window, value-exact
     "multimodal_features": Q_MULTIMODAL_SQL,  # binary round-trip invariants
 }

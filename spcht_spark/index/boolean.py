@@ -108,11 +108,24 @@ def parse_query(q: str, analyzer: str | None = None) -> Ast:
 
 
 def _fold_fn(analyzer: str | None):
+    """Query-side analyzer: the SAME chain the build ran
+    (spcht_spark.index.analyze). A stopword query term keeps its
+    verbatim form — stopwords carry no postings, so it matches nothing
+    (strict semantics; Lucene drops the clause instead — drop
+    client-side if that is wanted)."""
     if analyzer is None:
         return lambda s: s
-    if analyzer == "lowercase":
-        return str.lower
-    raise ValueError(f"unknown analyzer {analyzer!r} (None or 'lowercase')")
+    from spcht_spark.index.analyze import content_steps, fold_token_py
+
+    low = "lowercase" in content_steps(analyzer)  # validates the spec
+
+    def fold(s: str) -> str:
+        if low:
+            s = s.lower()
+        out = fold_token_py(s, analyzer)
+        return s if out is None else out
+
+    return fold
 
 
 def _parse_tokens(toks: list[str], q: str, analyzer: str | None = None) -> Ast:

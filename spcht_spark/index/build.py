@@ -89,18 +89,19 @@ class IndexTables:
 
 
 def apply_analyzer(corpus: DataFrame, analyzer: str | None) -> DataFrame:
-    """Normalize content per the analyzer option, JVM-side (one
+    """Apply the CONTENT-level analyzer steps, JVM-side (one
     whole-stage-codegen projection, no Python). ``None`` keeps content
     verbatim (case-preserving — right for source code, where ``Return``
     and ``return`` are different identifiers); ``"lowercase"`` folds
-    case like Solr's LowerCaseFilter. The SAME option must be given to
-    parse_query/search at query time (Solr runs one analyzer chain at
-    index and query time)."""
-    if analyzer is None:
-        return corpus
-    if analyzer == "lowercase":
-        return corpus.withColumn("content", F.lower("content"))
-    raise ValueError(f"unknown analyzer {analyzer!r} (None or 'lowercase')")
+    case like Solr's LowerCaseFilter. Token-level steps (``stop``,
+    ``sstem`` — spcht_spark.index.analyze) run inside the tokenizers.
+    The SAME spec must be given to parse_query/search at query time
+    (Solr runs one analyzer chain at index and query time)."""
+    from spcht_spark.index.analyze import content_steps
+
+    if "lowercase" in content_steps(analyzer):  # validates the full spec
+        corpus = corpus.withColumn("content", F.lower("content"))
+    return corpus
 
 
 def build_tokens(
@@ -123,11 +124,11 @@ def build_tokens(
         corpus = corpus.repartition(par * 2)
     corpus = apply_analyzer(corpus, analyzer)
     if tokenizer == "arrow":
-        return tokens_arrow(corpus)
+        return tokens_arrow(corpus, analyzer)
     if tokenizer == "jvm":
-        return tokens_jvm(corpus)
+        return tokens_jvm(corpus, analyzer)
     if tokenizer == "ws":
-        return tokens_ws(corpus)
+        return tokens_ws(corpus, analyzer)
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
 

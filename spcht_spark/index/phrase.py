@@ -132,8 +132,14 @@ def build_positional_index(
 ) -> IndexTables:
     """In-memory positional build (tokens → stats → positional blocks).
     Dictionary/doclens are derived exactly as the default build."""
+    from spcht_spark.index.analyze import token_steps
     from spcht_spark.index.build import apply_analyzer
 
+    if token_steps(analyzer):
+        raise ValueError(
+            "positional index supports content-level analyzer steps only "
+            "(lowercase) — stop/sstem would shift token positions"
+        )
     corpus = apply_analyzer(corpus, analyzer)
     tokens = tokens_positional(corpus, mode).localCheckpoint()
     doclens = tokens.groupBy("doc_id").agg(F.max("dl").alias("dl"))

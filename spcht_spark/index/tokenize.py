@@ -45,7 +45,7 @@ TOKENS_SCHEMA = T.StructType(
 )
 
 
-def tokens_arrow(corpus: DataFrame) -> DataFrame:
+def tokens_arrow(corpus: DataFrame, analyzer: str | None = None) -> DataFrame:
     """(doc_id, term, tf) via Arrow-batched UDF — SPIMI map side.
 
     The whole inversion stays INSIDE Arrow C++ (mimalloc pool):
@@ -59,10 +59,18 @@ def tokens_arrow(corpus: DataFrame) -> DataFrame:
     str.findall version was worse still (per-row PyObjects).
 
     Token definition is TOKEN_REGEX, verified equivalent in tests
-    against both the JVM regexp path and the pure-Python oracle."""
+    against both the JVM regexp path and the pure-Python oracle.
+
+    ``analyzer`` token-level steps (stop/sstem) run per batch — stop
+    as an Arrow is_in filter, sstem via the vectorized pandas twin
+    (spcht_spark.index.analyze.fold_tokens_pd); the pure-Arrow fast
+    path is untouched when no token steps are configured."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    from spcht_spark.index.analyze import fold_tokens_pd, token_steps
+
+    tok_steps = token_steps(analyzer)
     punct = r"[{}()\[\];:=,.<>+\-*/]"
 
     def tokenize_lists(content: pa.Array) -> pa.Array:
@@ -92,6 +100,19 @@ def tokens_arrow(corpus: DataFrame) -> DataFrame:
             tbl = pa.table({"doc_id": doc_ids, "term": flat})
             # split leaves "" tokens at string boundaries — drop them
             tbl = tbl.filter(pc.not_equal(tbl["term"], ""))
+            if tok_steps:
+                folded = fold_tokens_pd(tbl["term"].to_pandas(), analyzer)
+                keep = pa.array(folded.notna().to_numpy())
+                tbl = pa.table(
+                    {
+                        "doc_id": tbl["doc_id"].filter(keep),
+                        "term": pa.array(
+                            folded[folded.notna()], type=pa.string()
+                        ),
+                    }
+                )
+                if len(tbl) == 0:
+                    continue
             out = tbl.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
             out = out.rename_columns(["doc_id", "term", "tf"])
             # per-doc length in the same pass (docs never span batches,
@@ -206,32 +227,49 @@ def tokens_positional(corpus: DataFrame, mode: str = "arrow") -> DataFrame:
     return corpus.select("doc_id", "content").mapInPandas(invert, schema=POS_TOKENS_SCHEMA)
 
 
-def tokens_ws(corpus: DataFrame) -> DataFrame:
+def _token_filtered(exploded: DataFrame, analyzer: str | None) -> DataFrame:
+    """Apply token-level analyzer steps (stop/sstem) between explode
+    and the tf aggregation — pure Catalyst, removed tokens filtered as
+    NULL so they contribute neither postings nor doc length."""
+    from spcht_spark.index.analyze import fold_tokens_col, token_steps
+
+    if not token_steps(analyzer):
+        return exploded
+    return exploded.withColumn(
+        "term", fold_tokens_col(F.col("term"), analyzer)
+    ).filter(F.col("term").isNotNull())
+
+
+def tokens_ws(corpus: DataFrame, analyzer: str | None = None) -> DataFrame:
     """Whitespace tokens (single-space split), pure Catalyst.
 
     Exists so the full index engine (build → compress → exact/WAND query)
     can be DuckDB-oracled by the driver: ``split(content, ' ')`` filtered
     non-empty is exactly ``string_split(text, ' ') ... WHERE term <> ''``
     in ANSI SQL, whereas TOKEN_REGEX is not SQL-portable."""
-    return _with_dl(
+    exploded = (
         corpus.select(
             "doc_id", F.explode(F.split("content", " ")).alias("term")
         )
         .filter(F.col("term") != "")
+    )
+    return _with_dl(
+        _token_filtered(exploded, analyzer)
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
 
 
-def tokens_jvm(corpus: DataFrame) -> DataFrame:
+def tokens_jvm(corpus: DataFrame, analyzer: str | None = None) -> DataFrame:
     """Same output, pure Catalyst expressions (no Python at all)."""
     # regexp_extract_all needs the pattern escaped into a SQL literal.
     pat = TOKEN_REGEX.replace("\\", "\\\\")
+    exploded = corpus.select(
+        "doc_id",
+        F.explode(F.expr(f"regexp_extract_all(content, '{pat}', 0)")).alias("term"),
+    )
     return _with_dl(
-        corpus.select(
-            "doc_id",
-            F.explode(F.expr(f"regexp_extract_all(content, '{pat}', 0)")).alias("term"),
-        )
+        _token_filtered(exploded, analyzer)
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
