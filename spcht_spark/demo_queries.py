@@ -1101,6 +1101,160 @@ SELECT query_id, rank, doc_id, score, grp FROM ranked WHERE rank <= {DOC_K}
 """
 
 
+_GROUP_LIMIT = 3
+_GROUP_K = 3
+
+
+def q_index_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result grouping (Solr ``group=true&group.field=lang&
+    group.limit=3``): the top-3 lang groups per query ranked by their
+    best doc, each carrying its total match count (per-group numFound)
+    and its top-3 docs. Same machinery as collapse — one narrow
+    doc_id join for the group key, group-sized window partitions,
+    salted head top-k — generalized to multi-doc groups."""
+    from spcht_spark.index.grouping import group_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    qs = [(qid, ts, _GROUP_K) for qid, ts in DOC_QUERIES]
+    return group_topk(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats,
+        docs.select("doc_id", "lang"), "lang", qs, group_limit=_GROUP_LIMIT,
+    )
+
+
+def _group_topk_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  jg AS (SELECT s.query_id, s.doc_id, s.raw, d.lang::VARCHAR AS grp
+         FROM scored s JOIN documents d USING (doc_id)),
+  m AS (SELECT *,
+               row_number() OVER (PARTITION BY query_id, grp
+                                  ORDER BY round(raw, 6) DESC, doc_id) AS doc_rank,
+               count(*) OVER (PARTITION BY query_id, grp) AS grp_n
+        FROM jg),
+  gr AS (SELECT query_id, grp,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY h_score DESC, h_doc) AS grp_rank
+         FROM (SELECT query_id, grp, round(raw, 6) AS h_score,
+                      doc_id AS h_doc
+               FROM m WHERE doc_rank = 1))
+SELECT m.query_id, gr.grp_rank::INTEGER AS grp_rank, m.grp,
+       m.grp_n::BIGINT AS grp_n, m.doc_rank::INTEGER AS doc_rank,
+       m.doc_id, round(m.raw, 4) AS score
+FROM m JOIN gr ON m.query_id = gr.query_id AND m.grp = gr.grp
+WHERE gr.grp_rank <= {_GROUP_K} AND m.doc_rank <= {_GROUP_LIMIT}
+"""
+
+
+def q_index_pivot_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot facets (Solr ``facet.pivot=lang,source``): hierarchical
+    counts over each query's matching set — per-(lang, source) leaves
+    plus per-lang subtotals (value2='*'), produced by ONE Catalyst
+    ROLLUP pass over match⋈attrs instead of two groupBys. The DuckDB
+    oracle runs the identical GROUP BY ROLLUP + GROUPING() filter."""
+    from spcht_spark.index.grouping import pivot_facets
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return pivot_facets(
+        spark, idx.blocks, DOC_QUERIES,
+        docs.select("doc_id", "lang", "source"), "lang", "source",
+    )
+
+
+def _pivot_facets_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  q(query_id, term) AS (VALUES {vals}),
+  m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+  j AS (SELECT m.query_id, d.lang::VARCHAR AS value1,
+               d.source::VARCHAR AS value2
+        FROM m JOIN documents d USING (doc_id)),
+  r AS (SELECT query_id, value1, value2, count(*)::BIGINT AS n,
+               GROUPING(query_id) AS g0, GROUPING(value1) AS g1,
+               GROUPING(value2) AS g2
+        FROM j GROUP BY ROLLUP(query_id, value1, value2))
+SELECT query_id, value1,
+       CASE WHEN g2 = 1 THEN '*' ELSE value2 END AS value2, n
+FROM r WHERE g0 = 0 AND g1 = 0
+"""
+
+
+# facet.query set: a scoring boolean, a term-free negation, a pure
+# attribute range, and a term × range mix — the universe is each base
+# query's DocSet, so term-free predicates count correctly.
+DOC_FACET_QUERIES: dict[str, str] = {
+    "f_and": "spark AND join",
+    "f_not_join": "NOT join",
+    "f_range": "n_chars:[200 TO 600]",
+    "f_mixed": "hash AND n_chars:[0 TO 400]",
+}
+
+
+def q_index_facet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``facet.query``: per base query, how many of its matching
+    docs also satisfy each named boolean facet query (full q language
+    incl. NOT and metadata ranges). Facet-term presence comes from one
+    pruned block scan semi-joined to the base ids; each AST evaluates
+    as a Catalyst predicate over (present terms, attrs); counts are
+    zero-filled per (query, facet) like Solr's response."""
+    from spcht_spark.index.grouping import facet_query_counts
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return facet_query_counts(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats,
+        DOC_QUERIES, DOC_FACET_QUERIES,
+        attrs=docs.select("doc_id", "n_chars"),
+    )
+
+
+def _facet_query_sql() -> str:
+    from spcht_spark.index.boolean import ast_terms, ast_to_duckdb, parse_query
+
+    parsed = {
+        name: parse_query(s, require_positive=False)
+        for name, s in DOC_FACET_QUERIES.items()
+    }
+    fterms = sorted({t for ast in parsed.values() for t in ast_terms(ast)})
+    tvals = ", ".join(f"'{t}'" for t in fterms)
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    branches = "\nUNION ALL\n".join(
+        f"SELECT query_id, '{name}' AS facet,\n"
+        f"       sum(CASE WHEN {ast_to_duckdb(ast, 'present', '')} "
+        f"THEN 1 ELSE 0 END)::BIGINT AS n\nFROM u GROUP BY query_id"
+        for name, ast in sorted(parsed.items())
+    )
+    return f"""
+WITH {_TOK_SQL},
+  q(query_id, term) AS (VALUES {vals}),
+  base AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+  pres AS (SELECT doc_id, list(DISTINCT term) AS present
+           FROM tf WHERE term IN ({tvals}) GROUP BY doc_id),
+  u AS (SELECT b.query_id, b.doc_id,
+               COALESCE(p.present, []::VARCHAR[]) AS present, d.n_chars
+        FROM base b LEFT JOIN pres p USING (doc_id)
+             JOIN documents d USING (doc_id))
+{branches}
+"""
+
+
 def q_index_stats_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr stats component: count/min/max/sum/mean of n_chars over
     ALL matching docs per query — the matching-doc set from the
@@ -2319,6 +2473,9 @@ _ALL_QUERIES = {
     "index_fuzzy_topk": q_index_fuzzy_topk,
     "index_analyzed_topk": q_index_analyzed_topk,
     "index_collapse": q_index_collapse,
+    "index_group_topk": q_index_group_topk,
+    "index_pivot_facets": q_index_pivot_facets,
+    "index_facet_query": q_index_facet_query,
     "index_stats_field": q_index_stats_field,
     "index_suggest": q_index_suggest,
     "index_search_request": q_index_search_request,
@@ -2381,6 +2538,9 @@ OVERFLOW_QUERY_NAMES = [
     "if_numeric_gate",
     "embedding_ann_ivf",
     "index_analyzed_topk",
+    "mapping_translate",
+    "insert_into_format",
+    "sha256_digest",
 ]
 DRIVER_QUERY_NAMES = [
     n for n in _ALL_QUERIES if n not in OVERFLOW_QUERY_NAMES
@@ -2410,6 +2570,9 @@ ORACLES = {
     "index_fuzzy_topk": _fuzzy_bm25_sql(),
     "index_analyzed_topk": _analyzed_bm25_sql(),
     "index_collapse": _collapse_sql(),
+    "index_group_topk": _group_topk_sql(),
+    "index_pivot_facets": _pivot_facets_sql(),
+    "index_facet_query": _facet_query_sql(),
     "index_stats_field": _stats_field_sql(),
     "index_suggest": _suggest_sql(),
     "index_search_request": _search_request_sql(),

@@ -85,9 +85,16 @@ def _attr_clause(field_name: str, val: str, q: str) -> Ast:
     return ("eq", field_name, val)
 
 
-def parse_query(q: str, analyzer: str | None = None) -> Ast:
+def parse_query(
+    q: str, analyzer: str | None = None, require_positive: bool = True
+) -> Ast:
     """Parse a boolean query string. Raises QueryParseError on syntax
-    errors and on pure-negative (postings-unanswerable) queries.
+    errors and — when ``require_positive`` (the default) — on
+    pure-negative (postings-unanswerable) queries. Pass
+    ``require_positive=False`` for contexts whose candidate universe
+    does NOT come from this query's own postings (facet.query counts
+    over the base query's DocSet, so ``NOT term`` / pure attribute
+    predicates are answerable there).
 
     ``analyzer`` must MATCH the analyzer the index was built with
     (build_tokens/build_index): ``None`` keeps terms verbatim (the
@@ -98,7 +105,7 @@ def parse_query(q: str, analyzer: str | None = None) -> Ast:
     (``lang:en``) are never folded — they address the doc-attribute
     table, not the analyzed text."""
     ast = _parse_tokens(_lex(q), q, analyzer)
-    if _satisfiable_without_terms(ast):
+    if require_positive and _satisfiable_without_terms(ast):
         raise QueryParseError(
             f"query {q!r} can match docs containing none of its fulltext "
             "terms — unanswerable from postings (Lucene top-level MUST_NOT "
