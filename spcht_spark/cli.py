@@ -103,6 +103,14 @@ def main(argv: list[str] | None = None) -> int:
                     help='metadata filter query, e.g. "lang:en AND n:[2 TO *]"')
     sp.add_argument("--fl", nargs="*", default=[])
     sp.add_argument("--facet", nargs="*", default=[])
+    sp.add_argument("--facet-query", nargs="*", default=[], metavar="NAME=Q",
+                    help='named boolean facet queries counted over the '
+                         'DocSet, e.g. "recent=year:[2020 TO *]"')
+    sp.add_argument("--facet-pivot", default=None, metavar="F1,F2",
+                    help="two-level pivot facet over attr fields")
+    sp.add_argument("--group-field", default=None,
+                    help="group results by this attr field (group=true)")
+    sp.add_argument("--group-limit", type=int, default=1)
     sp.add_argument("--stats-field", default=None)
     sp.add_argument("--hl", action="store_true")
 
@@ -216,8 +224,20 @@ def main(argv: list[str] | None = None) -> int:
         from spcht_spark.index.search import SearchRequest, search
 
         idx = load_index(spark, args.workdir)
+        bad_fq = [s for s in args.facet_query if "=" not in s]
+        if bad_fq or (args.facet_pivot and "," not in args.facet_pivot):
+            msg = (
+                f"error: --facet-query entries need NAME=QUERY: {bad_fq}"
+                if bad_fq
+                else "error: --facet-pivot needs two fields: F1,F2"
+            )
+            print(msg, file=sys.stderr)
+            if owns_session:
+                spark.stop()
+            return 2
         needs_store = bool(
             args.fl or args.facet or args.stats_field or args.hl or args.fq
+            or args.facet_query or args.facet_pivot or args.group_field
         )
         if not needs_store:
             # field:value / field:[lo TO hi] clauses inside q evaluate
@@ -259,6 +279,13 @@ def main(argv: list[str] | None = None) -> int:
                 fq=args.fq,
                 fl=args.fl,
                 facets={f: (F.col(f), [f]) for f in args.facet} or None,
+                facet_queries=dict(
+                    s.split("=", 1) for s in args.facet_query
+                ) or None,
+                facet_pivot=tuple(args.facet_pivot.split(",", 1))
+                if args.facet_pivot else None,
+                group_field=args.group_field,
+                group_limit=args.group_limit,
                 stats_field=args.stats_field,
                 hl=args.hl,
             ),
@@ -272,6 +299,15 @@ def main(argv: list[str] | None = None) -> int:
         if resp.stats is not None:
             for r in resp.stats.collect():
                 print(json.dumps({"stats": r.asDict()}, default=str))
+        if resp.facet_query is not None:
+            for r in resp.facet_query.orderBy("facet").collect():
+                print(json.dumps({"facet_query": r.asDict()}, default=str))
+        if resp.pivot is not None:
+            for r in resp.pivot.orderBy("value1", "value2").collect():
+                print(json.dumps({"pivot": r.asDict()}, default=str))
+        if resp.groups is not None:
+            for r in resp.groups.orderBy("grp_rank", "doc_rank").collect():
+                print(json.dumps({"group": r.asDict()}, default=str))
     elif args.verb == "query":
         idx = load_index(spark, args.workdir)
         if idx.analyzer:

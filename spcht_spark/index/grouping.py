@@ -84,7 +84,23 @@ def group_topk(
     query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
     postings = decode_blocks(blocks.filter(F.col("term").isin(list(idfs.keys()))))
     scores = score_postings(postings, idfs, avgdl, query_terms)
-    j = scores.join(
+    return group_scored(
+        scores, attrs, group_col, {qid: k for qid, _, k in queries}, group_limit
+    )
+
+
+def group_scored(
+    scored: DataFrame,
+    attrs: DataFrame,
+    group_col: str,
+    ks: dict[str, int],
+    group_limit: int = 1,
+) -> DataFrame:
+    """Grouping core over a pre-scored (query_id, doc_id, score) frame
+    — what :func:`group_topk` runs after BM25 scoring, and what the
+    search facade feeds its boolean admissible set (so ``group=true``
+    composes with the full q language / fq, like one Solr request)."""
+    j = scored.select("query_id", "doc_id", "score").join(
         attrs.select("doc_id", F.col(group_col).cast("string").alias("grp")),
         "doc_id",
     )
@@ -104,7 +120,6 @@ def group_topk(
         F.round("score", 6).alias("h_score"),
         F.col("doc_id").alias("h_doc"),
     )
-    ks = {qid: k for qid, _, k in queries}
     k_map = F.create_map(
         *[x for q, k in sorted(ks.items()) for x in (F.lit(q), F.lit(k))]
     )

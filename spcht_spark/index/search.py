@@ -56,6 +56,10 @@ class SearchRequest:
                                              # values may be (Column,
                                              # [attr_cols]) to prune the
                                              # attrs join explicitly
+    facet_queries: dict[str, str] | None = None  # facet.query=<boolean q>
+    facet_pivot: tuple[str, str] | None = None   # facet.pivot=f1,f2
+    group_field: str | None = None           # group=true&group.field=f
+    group_limit: int = 1                     # group.limit
     stats_field: str | None = None           # stats.field
     hl: bool = False                         # highlight
     hl_window: int = 4
@@ -66,6 +70,10 @@ class SearchResponse:
     hits: DataFrame                          # rank page (+ fl, + snippet)
     facets: DataFrame | None = None
     stats: DataFrame | None = None
+    facet_query: DataFrame | None = None     # (query_id, facet, n)
+    pivot: DataFrame | None = None           # (query_id, value1, value2, n)
+    groups: DataFrame | None = None          # (query_id, grp_rank, grp,
+                                             #  grp_n, doc_rank, doc_id, score)
 
 
 def search(
@@ -104,7 +112,14 @@ def search(
         fq = fq_filter(attrs, fq)
 
     matches = None
-    n_components = 1 + bool(request.facets) + bool(request.stats_field)
+    n_components = (
+        1
+        + bool(request.facets)
+        + bool(request.stats_field)
+        + bool(request.facet_queries)
+        + bool(request.facet_pivot)
+        + bool(request.group_field)
+    )
     if n_components == 1:
         hits = boolean_topk(
             spark,
@@ -163,4 +178,35 @@ def search(
             spark, index.blocks, [(query_id, terms)], attrs,
             request.stats_field, match=matches,
         )
-    return SearchResponse(hits=hits, facets=facets_df, stats=stats_df)
+    fquery_df = None
+    if request.facet_queries:
+        from spcht_spark.index.grouping import facet_query_counts
+
+        fquery_df = facet_query_counts(
+            spark, index.blocks, index.doclens, index.dictionary, index.stats,
+            [(query_id, terms)], request.facet_queries, attrs=attrs,
+            match=matches, analyzer=index.analyzer,
+        )
+    pivot_df = None
+    if request.facet_pivot:
+        from spcht_spark.index.grouping import pivot_facets
+
+        f1, f2 = request.facet_pivot
+        pivot_df = pivot_facets(
+            spark, index.blocks, [(query_id, terms)], attrs, f1, f2,
+            match=matches,
+        )
+    groups_df = None
+    if request.group_field:
+        from spcht_spark.index.grouping import group_scored
+
+        # group over the SAME admissible set as the page (q + fq +
+        # attr clauses all applied), Solr group=true semantics
+        groups_df = group_scored(
+            matches, attrs, request.group_field,
+            {query_id: request.k}, request.group_limit,
+        )
+    return SearchResponse(
+        hits=hits, facets=facets_df, stats=stats_df,
+        facet_query=fquery_df, pivot=pivot_df, groups=groups_df,
+    )

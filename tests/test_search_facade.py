@@ -61,6 +61,52 @@ def test_components_share_the_boolean_match_set(
     assert got_counts == dict(exp_counts)
 
 
+def test_grouping_components_share_the_match_set(
+    spark, small_corpus_pd, small_corpus, small_index
+):
+    """group=true / facet.pivot / facet.query compose with the boolean
+    q in ONE request and all read the same admissible set."""
+    resp = search(
+        spark, small_index, small_corpus,
+        SearchRequest(
+            q=Q, k=3,
+            facet_queries={"fq_def": "def", "fq_nodef": "NOT def"},
+            facet_pivot=("lang", "repo"),
+            group_field="repo", group_limit=2,
+        ),
+    )
+    expected = _match_set(small_corpus_pd, Q)
+    pdf = small_corpus_pd.set_index("doc_id")
+
+    # facet.query: the two complementary predicates partition the DocSet
+    fq = {r["facet"]: r["n"] for r in resp.facet_query.collect()}
+    n_def = sum(
+        1 for d in expected if "def" in tokenize_py(pdf.loc[d, "content"])
+    )
+    assert fq == {"fq_def": n_def, "fq_nodef": len(expected) - n_def}
+
+    # pivot: leaf rows sum to the subtotals, subtotals sum to |DocSet|
+    piv = resp.pivot.collect()
+    subtotals = {r["value1"]: r["n"] for r in piv if r["value2"] == "*"}
+    leaves = Counter()
+    for r in piv:
+        if r["value2"] != "*":
+            leaves[r["value1"]] += r["n"]
+    assert dict(leaves) == subtotals
+    assert sum(subtotals.values()) == len(expected)
+    exp_langs = Counter(pdf.loc[d, "lang"] for d in expected)
+    assert subtotals == dict(exp_langs)
+
+    # groups: member docs are admissible, ranks within limits, grp_n
+    # counts the group's FULL match set
+    grows = resp.groups.collect()
+    assert grows and all(r["doc_id"] in expected for r in grows)
+    assert all(r["doc_rank"] <= 2 and r["grp_rank"] <= 3 for r in grows)
+    exp_repo = Counter(pdf.loc[d, "repo"] for d in expected)
+    for r in grows:
+        assert r["grp_n"] == exp_repo[r["grp"]]
+
+
 def test_cli_search_verb(spark, tmp_path):
     from spcht_spark.cli import main as cli_main
     from spcht_spark.corpus import generate_corpus
@@ -75,5 +121,11 @@ def test_cli_search_verb(spark, tmp_path):
     rc = cli_main([
         "search", wd, "return AND if", "-k", "5",
         "--doc-store", corpus_path, "--fl", "lang", "--facet", "lang", "--hl",
+        "--facet-query", "has_def=def", "nodef=NOT def",
+        "--facet-pivot", "lang,repo",
+        "--group-field", "repo", "--group-limit", "2",
     ])
     assert rc == 0
+    # malformed component specs exit 2 with a friendly message
+    assert cli_main(["search", wd, "return", "--facet-query", "oops"]) == 2
+    assert cli_main(["search", wd, "return", "--facet-pivot", "lang"]) == 2
