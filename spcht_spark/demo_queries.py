@@ -822,6 +822,134 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
 """
 
 
+_DISMAX_TIE = 0.3
+
+
+def q_index_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dismax multi-field scoring (Lucene DisjunctionMaxQuery /
+    edismax ``tie``): per-field BM25 with each field's own statistics,
+    combined per doc as max_f + tie·Σ_other — the best-matching field
+    dominates, other fields break ties — instead of the plain weighted
+    sum. tie=0.3, Solr's customary setting. Same per-field persisted
+    indexes as index_fielded_topk."""
+    from spcht_spark.index.fielded import fielded_topk
+
+    idx_text = _persisted_index(spark, sf_dir)
+    idx_src = _persisted_field_index(spark, sf_dir, "source")
+    qs = [(qid, ts, DOC_K + 5) for qid, ts in DOC_FIELDED_QUERIES]
+    out = fielded_topk(
+        spark, {"text": idx_text, "source": idx_src}, _FIELD_BOOSTS, qs,
+        tie=_DISMAX_TIE,
+    )
+    return _rerank_rounded(out)
+
+
+def _dismax_bm25_sql() -> str:
+    vals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in DOC_FIELDED_QUERIES for t in ts
+    )
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  tfs AS (SELECT doc_id, source AS term, 1::BIGINT AS tf FROM documents),
+  statss AS (SELECT count(*)::BIGINT AS n_docs, 1.0::DOUBLE AS avgdl
+             FROM documents),
+  dfts AS (SELECT term, count(*)::BIGINT AS df FROM tfs GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  sc_text AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) )
+           * {_FIELD_BOOSTS["text"]} AS w
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  sc_src AS (
+    SELECT q.query_id, tfs.doc_id,
+           sum( ln(1.0 + (s.n_docs - dfts.df + 0.5) / (dfts.df + 0.5))
+                * (tfs.tf * 2.2)
+                / (tfs.tf + 1.2 * (0.25 + 0.75 * (1.0 / s.avgdl))) )
+           * {_FIELD_BOOSTS["source"]} AS w
+    FROM q JOIN dfts USING (term) JOIN tfs USING (term)
+         CROSS JOIN statss s
+    GROUP BY q.query_id, tfs.doc_id),
+  u AS (SELECT * FROM sc_text UNION ALL SELECT * FROM sc_src),
+  g AS (SELECT query_id, doc_id,
+               max(w) + {_DISMAX_TIE} * (sum(w) - max(w)) AS raw
+        FROM u GROUP BY query_id, doc_id),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM g)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
+"""
+
+
+# (query_id, terms, mm): disjunctive queries gated by Solr's edismax
+# minimum-should-match — a doc needs ≥ mm distinct query terms.
+DOC_MM_QUERIES: list[tuple[str, list[str], int]] = [
+    ("m_hot4", ["join", "hash", "row", "batch"], 3),
+    ("m_mix3", ["window", "stream", "hash"], 2),
+    ("m_all", ["spark", "join"], 2),
+]
+
+
+def q_index_minmatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-should-match (Solr ``mm``): disjunctive BM25 where only
+    docs containing ≥ mm distinct query terms are admissible — the
+    middle ground between OR and AND that web search defaults to.
+    Admissibility reuses the scorer's n_matched column (no extra
+    pass); scoring stays pure BM25 over the matched terms."""
+    from spcht_spark.index.query import exact_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    qs = [(qid, ts, DOC_K + 5) for qid, ts, _ in DOC_MM_QUERIES]
+    out = exact_topk(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, qs,
+        min_match={qid: mm for qid, _, mm in DOC_MM_QUERIES},
+    )
+    return _rerank_rounded(out)
+
+
+def _minmatch_bm25_sql() -> str:
+    vals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts, _ in DOC_MM_QUERIES for t in ts
+    )
+    mmvals = ", ".join(f"('{qid}', {mm})" for qid, _, mm in DOC_MM_QUERIES)
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  mm(query_id, mm) AS (VALUES {mmvals}),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw,
+           count(*) AS n_matched
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  adm AS (SELECT s.query_id, s.doc_id, s.raw
+          FROM scored s JOIN mm USING (query_id)
+          WHERE s.n_matched >= mm.mm),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM adm)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
+"""
+
+
 DOC_PREFIX_QUERIES: list[tuple[str, str]] = [
     ("p_s", "s"),
     ("p_ha", "ha"),
@@ -2469,6 +2597,8 @@ _ALL_QUERIES = {
     "index_mlt": q_index_mlt,
     "index_highlight": q_index_highlight,
     "index_fielded_topk": q_index_fielded_topk,
+    "index_dismax_topk": q_index_dismax_topk,
+    "index_minmatch_topk": q_index_minmatch_topk,
     "index_prefix_topk": q_index_prefix_topk,
     "index_fuzzy_topk": q_index_fuzzy_topk,
     "index_analyzed_topk": q_index_analyzed_topk,
@@ -2541,6 +2671,8 @@ OVERFLOW_QUERY_NAMES = [
     "mapping_translate",
     "insert_into_format",
     "sha256_digest",
+    "intersect_except",
+    "distinct_agg",
 ]
 DRIVER_QUERY_NAMES = [
     n for n in _ALL_QUERIES if n not in OVERFLOW_QUERY_NAMES
@@ -2566,6 +2698,8 @@ ORACLES = {
     "index_mlt": _mlt_sql(),
     "index_highlight": _highlight_sql(),
     "index_fielded_topk": _fielded_bm25_sql(),
+    "index_dismax_topk": _dismax_bm25_sql(),
+    "index_minmatch_topk": _minmatch_bm25_sql(),
     "index_prefix_topk": _prefix_bm25_sql(),
     "index_fuzzy_topk": _fuzzy_bm25_sql(),
     "index_analyzed_topk": _analyzed_bm25_sql(),

@@ -59,8 +59,15 @@ def fielded_topk(
     indexes: dict[str, IndexTables],
     boosts: dict[str, float],
     queries: list[tuple[str, list[str], int]],
+    tie: float = 1.0,
 ) -> DataFrame:
-    """Top-k over ``score = Σ_f boost_f · BM25_f(query, doc)``.
+    """Top-k over the dismax combination of per-field BM25 scores:
+    ``score = max_f(boost_f·BM25_f) + tie · Σ_{other f}(boost_f·BM25_f)``
+    — Solr/Lucene DisjunctionMaxQuery with tiebreaker. The default
+    ``tie=1.0`` is the plain weighted sum (BM25F-style linear
+    combination, computed as the field-ordered fold so existing
+    results stay bit-identical); ``tie=0`` is pure best-field;
+    Solr's usual edismax setting is a small 0 < tie < 1.
 
     Per-field scoring is the unchanged exact path with that field's
     own stats; the cross-field combine folds (field, weighted score)
@@ -95,11 +102,26 @@ def fielded_topk(
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    combined = u.groupBy("query_id", "doc_id").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("field", "fscore"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["fscore"],
-        ).alias("score")
+    ordered_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("field", "fscore"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["fscore"],
     )
+    if tie == 1.0:
+        combined = u.groupBy("query_id", "doc_id").agg(
+            ordered_sum.alias("score")
+        )
+    else:
+        combined = (
+            u.groupBy("query_id", "doc_id")
+            .agg(ordered_sum.alias("s_sum"), F.max("fscore").alias("s_max"))
+            .select(
+                "query_id",
+                "doc_id",
+                (
+                    F.col("s_max")
+                    + F.lit(float(tie)) * (F.col("s_sum") - F.col("s_max"))
+                ).alias("score"),
+            )
+        )
     return topk(combined, {qid: k for qid, _, k in queries})

@@ -168,10 +168,19 @@ def exact_topk(
     queries: list[tuple[str, list[str], int]],
     mode: str = "or",
     doc_filter: DataFrame | None = None,
+    min_match: int | dict[str, int] | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k for a batch of queries. mode='or' (disjunctive)
     or 'and' (conjunctive: doc must match every query term; a term
     absent from the index empties that query, Lucene MUST semantics).
+
+    ``min_match`` — Solr (e)dismax ``mm``: a disjunctive doc is
+    admissible only if it contains at least mm DISTINCT query terms
+    (int: same mm for every query; dict: per-query). Lucene counts
+    SHOULD clauses matched against the ORIGINAL query — terms absent
+    from the index still raise the bar, they never lower it. mm=1 is
+    plain OR; mm=len(terms) equals mode='and'. Ignored under
+    mode='and'. Scoring stays pure BM25 over the matched terms.
 
     ``doc_filter`` — Solr fq parity (the reference ANDs field predicates
     into every query, /root/reference/Spcht/Core/WorkOrder.py:702-707):
@@ -216,4 +225,14 @@ def exact_topk(
             *[x for qid, n in sorted(n_terms.items()) for x in (F.lit(qid), F.lit(n))]
         )
         scores = scores.filter(F.col("n_matched") == nt_map[F.col("query_id")])
+    elif min_match is not None:
+        mm = (
+            {qid: int(min_match) for qid, _, _ in queries}
+            if isinstance(min_match, int)
+            else {qid: int(min_match.get(qid, 1)) for qid, _, _ in queries}
+        )
+        mm_map = F.create_map(
+            *[x for qid, n in sorted(mm.items()) for x in (F.lit(qid), F.lit(n))]
+        )
+        scores = scores.filter(F.col("n_matched") >= mm_map[F.col("query_id")])
     return topk(scores, {qid: k for qid, _, k in queries})

@@ -66,6 +66,40 @@ def test_fielded_topk_matches_python(spark, small_corpus_pd, small_corpus):
             assert abs(a - b) < 1e-9, qid
 
 
+def test_dismax_tie_matches_python(spark, small_corpus_pd, small_corpus):
+    """tie<1: score = max_f + tie·(sum_f − max_f) per doc; tie=0 is
+    pure best-field. Python oracle recomputes both from per-field
+    scores."""
+    tie = 0.3
+    queries = [("dq", ["return", small_corpus_pd["lang"].iloc[0]], K)]
+    indexes = build_fielded_index(
+        spark, small_corpus, ["content", "lang"], tokenizer="arrow", shard_span=64
+    )
+
+    def py_dismax(t):
+        per_field: dict[int, list[float]] = {}
+        for f in sorted(BOOSTS):
+            for qid, ws in _py_fielded(
+                small_corpus_pd, queries, {f: BOOSTS[f]}, 10_000
+            ).items():
+                for d, w in ws:
+                    per_field.setdefault(d, []).append(w)
+        scores = {
+            d: max(ws) + t * (sum(ws) - max(ws)) for d, ws in per_field.items()
+        }
+        return sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:K]
+
+    for t in (tie, 0.0):
+        got = (
+            fielded_topk(spark, indexes, BOOSTS, queries, tie=t)
+            .orderBy("rank").collect()
+        )
+        want = py_dismax(t)
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], t
+        for r, (_, w) in zip(got, want):
+            assert abs(r["score"] - w) < 1e-9, t
+
+
 def test_boost_changes_ranking(spark, small_corpus, small_corpus_pd):
     """With a large lang boost, docs in the queried language dominate."""
     lang = small_corpus_pd["lang"].iloc[0]

@@ -134,3 +134,79 @@ def test_suggest_matches_python(spark, small_corpus_pd, small_index):
         ]
         cands.sort(key=lambda x: (x[1], -x[2], x[0]))
         assert by_q.get(q, []) == cands[:4], q
+
+
+def _py_mm_topk(pdf, terms, mm, k):
+    toks, dls, n, avgdl, dfs = _corpus_stats(pdf)
+    scored = []
+    for d, c in toks.items():
+        present = sorted(t for t in set(terms) if t in c)
+        if len(present) < mm:
+            continue
+        s = sum(term_score(c[t], dls[d], avgdl, idf_py(n, dfs[t])) for t in present)
+        scored.append((d, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
+def test_min_match_matches_python(spark, small_corpus_pd, small_index):
+    """Solr mm: admissible iff >= mm distinct query terms present; the
+    absent-term case keeps the bar (mm counts the ORIGINAL clauses)."""
+    from spcht_spark.index.query import exact_topk
+
+    terms = ["return", "import", "while"]
+    for mm in (1, 2, 3):
+        got = exact_topk(
+            spark, small_index.blocks, small_index.doclens,
+            small_index.dictionary, small_index.stats,
+            [("q", terms, 15)], min_match=mm,
+        ).orderBy("rank").collect()
+        want = _py_mm_topk(small_corpus_pd, terms, mm, 15)
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], mm
+        for r, (_, s) in zip(got, want):
+            assert abs(r["score"] - s) < 1e-9, mm
+
+
+def test_min_match_full_equals_and_mode(spark, small_index):
+    from spcht_spark.index.query import exact_topk
+
+    terms = ["return", "import"]
+    a = exact_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        [("q", terms, 20)], mode="and",
+    ).orderBy("rank").collect()
+    b = exact_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        [("q", terms, 20)], min_match=len(terms),
+    ).orderBy("rank").collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_min_match_with_absent_term(spark, small_index):
+    """mm=2 with one index-absent term: only docs holding BOTH present
+    terms qualify; mm equal to the full clause count with an absent
+    term can never be satisfied."""
+    from spcht_spark.index.query import exact_topk
+
+    terms = ["return", "import", "zzz_not_a_term"]
+    both = exact_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        [("q", ["return", "import"], 50)], mode="and",
+    ).collect()
+    got2 = exact_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        [("q", terms, 50)], min_match=2,
+    ).collect()
+    assert {r["doc_id"] for r in got2} == {r["doc_id"] for r in both}
+    got3 = exact_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        [("q", terms, 50)], min_match=3,
+    ).collect()
+    assert got3 == []
