@@ -476,6 +476,105 @@ SELECT * FROM f1 UNION ALL SELECT * FROM f2
 """
 
 
+_FACET_LIMIT = 3
+_FACET_MINCOUNT = 2
+
+
+def q_index_facet_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet options (Solr ``facet.limit``/``facet.mincount``/
+    ``facet.sort=count``): per (query, facet) only the top-3 buckets
+    with n ≥ 2 survive, ordered (n desc, value asc). The limit runs
+    through the same two-stage salted window as every ranked surface —
+    at web scale a facet over a high-cardinality field has billions of
+    buckets and no reducer may hold one facet's full list."""
+    from spcht_spark.index.facets import facet_counts
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    facets = {
+        "lang": (F.col("lang"), ["lang"]),
+        "source": (F.col("source"), ["source"]),
+    }
+    return facet_counts(
+        spark, idx.blocks, DOC_QUERIES,
+        docs.select("doc_id", "lang", "source"), facets,
+        limit=_FACET_LIMIT, mincount=_FACET_MINCOUNT, sort="count",
+    )
+
+
+def _facet_topn_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  q(query_id, term) AS (VALUES {vals}),
+  m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+  j AS (SELECT m.query_id, d.lang, d.source
+        FROM m JOIN documents d USING (doc_id)),
+  f1 AS (SELECT query_id, 'lang' AS field, lang AS value,
+                count(*)::BIGINT AS n
+         FROM j GROUP BY query_id, lang),
+  f2 AS (SELECT query_id, 'source' AS field, source AS value,
+                count(*)::BIGINT AS n
+         FROM j GROUP BY query_id, source),
+  u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2),
+  r AS (SELECT *, row_number() OVER (PARTITION BY query_id, field
+                                     ORDER BY n DESC, value) AS rn
+        FROM u WHERE n >= {_FACET_MINCOUNT})
+SELECT query_id, field, value, n FROM r WHERE rn <= {_FACET_LIMIT}
+"""
+
+
+def q_index_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-query boosting (Solr edismax ``boost=``/``bf=`` /
+    Lucene FunctionScoreQuery): BM25 re-weighted per doc by functions
+    of attribute fields — multiplicative boost 1 + n_chars/1000 and
+    additive bf ln(n_chars). Applied to every admissible candidate
+    BEFORE top-k (candidates⋈attrs on doc_id — narrow rows, never
+    postings), then the standard salted top-k."""
+    from spcht_spark.index.query import boosted_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    qs = [(qid, ts, DOC_K + 5) for qid, ts in DOC_QUERIES]
+    out = boosted_topk(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, qs,
+        docs.select("doc_id", "n_chars"),
+        boost=(F.lit(1.0) + F.col("n_chars") / F.lit(1000.0), ["n_chars"]),
+        bf=(F.log(F.col("n_chars").cast("double")), ["n_chars"]),
+    )
+    return _rerank_rounded(out)
+
+
+def _boosted_bm25_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  boosted AS (
+    SELECT s.query_id, s.doc_id,
+           s.raw * (1.0 + d.n_chars / 1000.0) + ln(d.n_chars::DOUBLE) AS raw
+    FROM scored s JOIN documents d USING (doc_id)),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM boosted)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
+"""
+
+
 # Boolean query strings (Solr q syntax: default-OR, AND/OR/NOT, parens).
 DOC_BOOL_QUERIES: list[tuple[str, str]] = [
     ("b_and", "spark AND join"),
@@ -2592,6 +2691,8 @@ _ALL_QUERIES = {
     "index_incremental_topk": q_index_incremental_topk,
     "index_phrase_topk": q_index_phrase_topk,
     "index_facets": q_index_facets,
+    "index_facet_topn": q_index_facet_topn,
+    "index_boosted_topk": q_index_boosted_topk,
     "index_boolean_topk": q_index_boolean_topk,
     "index_cursor_pages": q_index_cursor_pages,
     "index_mlt": q_index_mlt,
@@ -2673,6 +2774,8 @@ OVERFLOW_QUERY_NAMES = [
     "sha256_digest",
     "intersect_except",
     "distinct_agg",
+    "token_count",
+    "language_id",
 ]
 DRIVER_QUERY_NAMES = [
     n for n in _ALL_QUERIES if n not in OVERFLOW_QUERY_NAMES
@@ -2693,6 +2796,8 @@ ORACLES = {
     "index_incremental_topk": _bm25_sql(),
     "index_phrase_topk": _phrase_bm25_sql(),
     "index_facets": _facets_sql(),
+    "index_facet_topn": _facet_topn_sql(),
+    "index_boosted_topk": _boosted_bm25_sql(),
     "index_boolean_topk": _boolean_bm25_sql(),
     "index_cursor_pages": _cursor_pages_sql(),
     "index_mlt": _mlt_sql(),

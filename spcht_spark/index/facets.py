@@ -72,8 +72,22 @@ def facet_counts(
     facets: dict[str, Column],
     doc_filter: DataFrame | None = None,
     match: DataFrame | None = None,
+    limit: int | None = None,
+    mincount: int = 0,
+    sort: str = "count",
 ) -> DataFrame:
     """(query_id, field, value, n) — per-query facet counts.
+
+    ``limit``/``mincount``/``sort`` are Solr's ``facet.limit`` /
+    ``facet.mincount`` / ``facet.sort``: buckets with n < mincount are
+    dropped, and with a limit only the top-``limit`` buckets per
+    (query, facet) survive, ordered by ``sort`` — ``"count"`` (n desc,
+    value asc — Solr's default) or ``"index"`` (value asc). At web
+    scale a facet over a high-cardinality field (URLs, hosts) has
+    billions of buckets; the limit applies via the same two-stage
+    salted window as every ranked surface, so no reducer ever holds
+    one (query, facet)'s full bucket list. ``limit=None`` returns all
+    buckets (the unlimited legacy shape).
 
     ``facets`` maps a facet name to either a Column over ``attrs``
     producing the bucket value (a plain column for ``facet.field``, a
@@ -111,6 +125,8 @@ def facet_counts(
     )
     joined = match.join(attrs.select(*[c for c in need]), "doc_id")
 
+    if sort not in ("count", "index"):
+        raise ValueError(f"facet sort must be 'count' or 'index', got {sort!r}")
     outs = []
     for name in sorted(specs):
         outs.append(
@@ -125,6 +141,29 @@ def facet_counts(
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)
+    if mincount > 0:
+        res = res.filter(F.col("n") >= mincount)
+    if limit is not None:
+        from pyspark.sql import Window
+
+        order = (
+            (F.desc("n"), F.asc("value"))
+            if sort == "count"
+            else (F.asc("value"),)
+        )
+        w_salt = Window.partitionBy("query_id", "field", "salt").orderBy(*order)
+        res = (
+            res.withColumn("salt", F.pmod(F.xxhash64("value"), F.lit(64)))
+            .withColumn("r1", F.row_number().over(w_salt))
+            .filter(F.col("r1") <= limit)
+            .drop("salt", "r1")
+        )
+        w = Window.partitionBy("query_id", "field").orderBy(*order)
+        res = (
+            res.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= limit)
+            .drop("r")
+        )
     return res
 
 

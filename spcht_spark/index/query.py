@@ -236,3 +236,55 @@ def exact_topk(
         )
         scores = scores.filter(F.col("n_matched") >= mm_map[F.col("query_id")])
     return topk(scores, {qid: k for qid, _, k in queries})
+
+
+def boosted_topk(
+    spark: SparkSession,
+    blocks: DataFrame,
+    doclens: DataFrame,
+    dictionary: DataFrame,
+    stats: DataFrame,
+    queries: list[tuple[str, list[str], int]],
+    attrs: DataFrame,
+    bf: tuple[Column, list[str]] | None = None,
+    boost: tuple[Column, list[str]] | None = None,
+) -> DataFrame:
+    """Function-query boosting (Solr ``bf=``/``boost=``): disjunctive
+    BM25 re-weighted by document-level functions of attribute fields —
+    ``score = BM25 · boost(attrs) + bf(attrs)`` (edismax multiplicative
+    ``boost`` and additive ``bf``; Lucene FunctionScoreQuery).
+
+    Each of ``bf``/``boost`` is ``(expression Column, [attr columns it
+    reads])`` — the explicit column list prunes the attrs join input,
+    like the facet specs. The function applies to EVERY admissible
+    candidate BEFORE top-k selection (a doc outside the raw BM25 page
+    can boost into it), so the join is candidates⋈attrs on doc_id —
+    narrow rows, never postings — followed by the standard two-stage
+    salted top-k. NULL function values contribute neutrally (boost 1,
+    bf 0), Solr's behavior for docs missing the field.
+    """
+    if bf is None and boost is None:
+        return exact_topk(spark, blocks, doclens, dictionary, stats, queries)
+    stats_row = stats.collect()[0]
+    avgdl = float(stats_row["avgdl"])
+    all_terms = sorted({t for _, ts, _ in queries for t in ts})
+    idfs = query_idfs(dictionary, stats_row, all_terms)
+    if not idfs:
+        return spark.createDataFrame([], schema=TOPK_SCHEMA)
+    qrows = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts)) if t in idfs]
+    query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
+    postings = decode_blocks(blocks.filter(F.col("term").isin(list(idfs.keys()))))
+    scores = score_postings(postings, idfs, avgdl, query_terms)
+    need = sorted(
+        {c for spec in (bf, boost) if spec is not None for c in spec[1]}
+    )
+    joined = scores.join(
+        attrs.select("doc_id", *[F.col(c) for c in need]), "doc_id", "left"
+    )
+    expr = F.col("score")
+    if boost is not None:
+        expr = expr * F.coalesce(boost[0].cast("double"), F.lit(1.0))
+    if bf is not None:
+        expr = expr + F.coalesce(bf[0].cast("double"), F.lit(0.0))
+    rescored = joined.select("query_id", "doc_id", expr.alias("score"))
+    return topk(rescored, {qid: k for qid, _, k in queries})

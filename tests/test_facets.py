@@ -106,3 +106,54 @@ def test_range_facet_bucket_expr(spark, small_corpus, small_corpus_pd, small_ind
     for r in got:
         got_c[(r["query_id"], r["field"], r["value"])] = r["n"]
     assert got_c == exp
+
+
+def test_facet_limit_mincount_sort(spark, small_corpus_pd, small_corpus, small_index):
+    """facet.limit/mincount/sort: top-N buckets per (query, facet)
+    under both sort orders, identical to the pandas-ranked expectation
+    (the salted two-stage window must not change results)."""
+    exp_all = _expected(small_corpus_pd, QUERIES, ["lang", "repo"])
+    attrs = small_corpus.select("doc_id", "lang", "repo")
+    facets = {"lang": (F.col("lang"), ["lang"]), "repo": (F.col("repo"), ["repo"])}
+
+    for sort in ("count", "index"):
+        got = facet_counts(
+            spark, small_index.blocks, QUERIES, attrs, facets,
+            limit=2, mincount=2, sort=sort,
+        ).collect()
+        by_qf: dict[tuple, list] = {}
+        for (qid, f, v), n in exp_all.items():
+            if n >= 2:
+                by_qf.setdefault((qid, f), []).append((v, n))
+        exp_rows = set()
+        for (qid, f), vs in by_qf.items():
+            key = (lambda x: (-x[1], x[0])) if sort == "count" else (lambda x: x[0])
+            for v, n in sorted(vs, key=key)[:2]:
+                exp_rows.add((qid, f, v, n))
+        assert {
+            (r["query_id"], r["field"], r["value"], r["n"]) for r in got
+        } == exp_rows, sort
+
+
+def test_boosted_topk_null_attrs_neutral(spark, small_corpus, small_index):
+    """Docs missing from the attrs table keep their raw BM25 score
+    (boost→1, bf→0) and still rank — never dropped, never NULLed."""
+    from spcht_spark.index.query import boosted_topk, exact_topk
+
+    queries = [("q", ["return", "import"], 400)]
+    empty_attrs = small_corpus.filter(F.lit(False)).select(
+        "doc_id", F.length("content").cast("long").alias("n_chars")
+    )
+    got = boosted_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats, queries, empty_attrs,
+        boost=(F.col("n_chars") / F.lit(100.0), ["n_chars"]),
+        bf=(F.log(F.col("n_chars").cast("double")), ["n_chars"]),
+    ).orderBy("rank").collect()
+    plain = exact_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats, queries,
+    ).orderBy("rank").collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in plain
+    ]
