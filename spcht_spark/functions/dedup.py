@@ -117,6 +117,17 @@ def lsh_candidate_pairs(
         ).alias("b"),
     ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
+    return _bucket_pairs(banded, max_bucket)
+
+
+def _bucket_pairs(
+    banded: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """(a, b) pairs co-bucketed in ≥1 (band, bh) — the shared candidate
+    generator behind MinHash banding AND sign-bit embedding tables
+    (any LSH family reduces to this join once codes are computed).
+    ``max_bucket`` chain-links oversized buckets as documented in
+    :func:`lsh_candidate_pairs`."""
     if max_bucket is None:
         left = banded.alias("l")
         right = banded.alias("r")
@@ -434,5 +445,74 @@ def minhash_dedup(
         comps.select(F.col("id").alias("rep"), "component"), "rep", "left"
     ).select("digest", F.coalesce("component", F.col("rep")).alias("component"))
     labeled = digest.join(rep_comp, "digest").select("id", "component")
+    w = Window.partitionBy("component").orderBy("id")
+    return labeled.withColumn("keep", F.row_number().over(w) == 1)
+
+
+def embedding_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 17,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate clustering → (id, component,
+    keep) — the semantic twin of :func:`minhash_dedup` (paraphrases and
+    re-encodings that share no n-grams but embed nearby).
+
+    Pipeline: random-hyperplane sign-bit codes per table (AND over
+    ``n_planes`` bits within a table, OR over ``n_tables`` tables —
+    p_miss = (1 − p_bit^planes)^tables; the 4×16 default puts a
+    cos ≥ 0.9 pair's miss probability ≈ 4e-6) → co-bucket candidate
+    pairs through the shared :func:`_bucket_pairs` join → EXACT cosine
+    recomputed per candidate (the approximation only gates candidate
+    generation, like MinHash verify) → ``threshold`` filter →
+    :func:`near_dup_components` min-label clustering → keep = each
+    component's min id.
+
+    Scale shape mirrors lsh_topk's shuffle discipline: the ×n_tables
+    explode carries (id, table, code) — 3 longs, never the vector;
+    candidate ids join back to the vector table twice, narrowly, for
+    the exact rescore. ``max_bucket`` chain-links boilerplate buckets
+    exactly as in MinHash (connectivity preserved for the component
+    stage, B−1 instead of B² pairs)."""
+    from spcht_spark.functions.similarity import (
+        _hyperplanes,
+        cosine,
+        lsh_code,
+    )
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    tbl = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(t).cast("long").alias("band"),
+                lsh_code(F.col("vec"), planes[t]).alias("bh"),
+            )
+            for t in range(n_tables)
+        ])
+    )
+    banded = base.select("id", tbl.alias("tc")).select(
+        "id", F.col("tc.band").alias("band"), F.col("tc.bh").alias("bh")
+    )
+    cands = _bucket_pairs(banded, max_bucket)
+    verified = (
+        cands.join(
+            base.select(F.col("id").alias("a"), F.col("vec").alias("va")), "a"
+        )
+        .join(base.select(F.col("id").alias("b"), F.col("vec").alias("vb")), "b")
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b")
+    )
+    comps = near_dup_components(verified)
+    labeled = base.select("id").join(comps, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
     w = Window.partitionBy("component").orderBy("id")
     return labeled.withColumn("keep", F.row_number().over(w) == 1)

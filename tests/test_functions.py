@@ -270,3 +270,60 @@ def test_minhash_bounded_equals_exact(spark, docs):
         ).collect()
     }
     assert exact == bounded
+
+
+def test_embedding_dedup_known_clusters(spark):
+    """Constructed vectors with two tight clusters + singletons: the
+    (component, keep) output equals hand-computed connected components
+    over the exact cos >= 0.9 graph, at full pair gen and with
+    max_bucket chaining."""
+    import numpy as np
+
+    from spcht_spark.functions.dedup import embedding_dedup
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    base_a = rng.standard_normal(16)
+    base_b = rng.standard_normal(16)
+    rows = []
+    for i in range(4):  # cluster A: ids 0-3, tiny perturbations
+        rows.append((i, (base_a + 0.01 * rng.standard_normal(16)).tolist()))
+    for i in range(3):  # cluster B: ids 10-12
+        rows.append((10 + i, (base_b + 0.01 * rng.standard_normal(16)).tolist()))
+    for i in range(5):  # singletons: ids 100+
+        rows.append((100 + i, rng.standard_normal(16).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    for mb in (None, 2):
+        got = {
+            r["id"]: (r["component"], r["keep"])
+            for r in embedding_dedup(
+                df, "embedding", "vec_id", threshold=0.9,
+                n_planes=2, n_tables=12, dim=16, max_bucket=mb,
+            ).collect()
+        }
+        for i in range(4):
+            assert got[i] == (0, i == 0), (mb, i)
+        for i in range(10, 13):
+            assert got[i] == (10, i == 10), (mb, i)
+        for i in range(100, 105):
+            assert got[i] == (i, True), (mb, i)
+
+
+def test_embedding_dedup_exact_duplicates_and_threshold(spark):
+    """Identical vectors always cluster (cos = 1 in every table);
+    orthogonal vectors never do at any positive threshold."""
+    from spcht_spark.functions.dedup import embedding_dedup
+
+    e1 = [1.0] + [0.0] * 15
+    e2 = [0.0, 1.0] + [0.0] * 14
+    df = spark.createDataFrame(
+        [(1, e1), (2, e1), (3, e2)], ["vec_id", "embedding"]
+    )
+    got = {
+        r["id"]: (r["component"], r["keep"])
+        for r in embedding_dedup(
+            df, "embedding", "vec_id", threshold=0.99,
+            n_planes=2, n_tables=8, dim=16,
+        ).collect()
+    }
+    assert got == {1: (1, True), 2: (1, False), 3: (3, True)}
