@@ -1831,6 +1831,331 @@ QUALIFY rank <= 8
 """
 
 
+# ------------------------- result post-processors / join / JSON facets
+
+_RERANK_FETCH = 25      # candidates carried past the main query
+_RERANK_DOCS = 15       # Solr reRankDocs
+_RERANK_W = 2.0         # Solr reRankWeight
+_RERANK_RQ_TERM = "hash"
+
+
+def _round6_rank(out: DataFrame, k: int) -> DataFrame:
+    """Deterministic rounding-contract rank (round(score,6) desc, doc
+    asc) keeping the RAW score — the pre-k window shared by the
+    post-processor entries (final output still rounds to 4)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def q_index_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ReRankQParser (rq={!rerank reRankQuery=... reRankDocs=15
+    reRankWeight=2}): the main BM25 page's top 15 get `main + 2·rq`
+    and re-order among themselves; ranks 16..25 ride below untouched.
+    The rq pass is candidate-bounded: boolean_matches scores the
+    rerank term ONLY over the window's doc ids (doc_filter) — Solr
+    reranks a collected window, it never re-runs a full search."""
+    from spcht_spark.index.boolean import boolean_matches
+    from spcht_spark.index.query import exact_topk
+    from spcht_spark.index.rerank import rerank_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    qs = [(qid, ts, _RERANK_FETCH + 5) for qid, ts in DOC_QUERIES]
+    main = _round6_rank(
+        exact_topk(spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, qs),
+        _RERANK_FETCH,
+    )
+    window_ids = main.filter(F.col("rank") <= _RERANK_DOCS).select("doc_id")
+    rr = boolean_matches(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats,
+        [(qid, _RERANK_RQ_TERM, 1) for qid, _ in DOC_QUERIES],
+        doc_filter=window_ids,
+    ).select("query_id", "doc_id", "score")
+    out = rerank_topk(main, rr, _RERANK_DOCS, _RERANK_W, k=DOC_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _rerank_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    rvals = ", ".join(f"('{qid}', '{_RERANK_RQ_TERM}')" for qid, _ in DOC_QUERIES)
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  win AS (
+    SELECT query_id, doc_id, raw,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id) AS rank
+    FROM scored QUALIFY rank <= {_RERANK_FETCH}),
+  rq(query_id, term) AS (VALUES {rvals}),
+  rscored AS (
+    SELECT rq.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS rraw
+    FROM rq JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY rq.query_id, tf.doc_id),
+  comb AS (
+    SELECT w.query_id, w.doc_id, w.rank,
+           CASE WHEN w.rank <= {_RERANK_DOCS}
+                THEN w.raw + {_RERANK_W} * coalesce(r.rraw, 0)
+                ELSE w.raw END AS nraw,
+           CASE WHEN w.rank <= {_RERANK_DOCS} THEN 0 ELSE 1 END AS sect
+    FROM win w LEFT JOIN rscored r
+         ON w.query_id = r.query_id AND w.doc_id = r.doc_id),
+  final AS (
+    SELECT query_id, doc_id, round(nraw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sect,
+                                       CASE WHEN sect = 0
+                                            THEN -round(nraw, 6)
+                                            ELSE rank::DOUBLE END,
+                                       doc_id)::INTEGER AS rank
+    FROM comb)
+SELECT query_id, rank, doc_id, score FROM final WHERE rank <= {DOC_K}
+"""
+
+
+_ELEV_FETCH = 12
+
+
+def q_index_elevate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr QueryElevationComponent: per query, the page docs with
+    doc_id % 7 == 0 are pinned to the top (config order = doc_id asc)
+    and docs with doc_id % 11 == 3 are dropped; the page backfills from
+    the overfetch. The curated elevate.xml config is driver-side BY
+    DESIGN (a hand-written list in Solr too) — the collect here is the
+    page (≤ 12·|queries| rows), the Solr-client contract, like the
+    cursor entry."""
+    from spcht_spark.index.query import exact_topk
+    from spcht_spark.index.rerank import elevate_hits
+
+    idx = _persisted_index(spark, sf_dir)
+    qs = [(qid, ts, _ELEV_FETCH + 5) for qid, ts in DOC_QUERIES]
+    page = _round6_rank(
+        exact_topk(spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, qs),
+        _ELEV_FETCH,
+    )
+    rows = page.collect()
+    elev: dict[str, list] = {}
+    excl: dict[str, list] = {}
+    for r in rows:
+        if r["doc_id"] % 7 == 0:
+            elev.setdefault(r["query_id"], []).append(r["doc_id"])
+        if r["doc_id"] % 11 == 3:
+            excl.setdefault(r["query_id"], []).append(r["doc_id"])
+    for v in elev.values():
+        v.sort()
+    out = elevate_hits(spark, page, elev, excl or None, k=DOC_K)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _elevate_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  page AS (
+    SELECT query_id, doc_id, raw,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id) AS rank
+    FROM scored QUALIFY rank <= {_ELEV_FETCH}),
+  kept AS (SELECT * FROM page WHERE doc_id % 11 <> 3),
+  final AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END,
+                                       CASE WHEN doc_id % 7 = 0
+                                            THEN doc_id ELSE rank END,
+                                       doc_id)::INTEGER AS rank
+    FROM kept)
+SELECT query_id, rank, doc_id, score FROM final WHERE rank <= {DOC_K}
+"""
+
+
+def q_index_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr join query parser as fq — `fq={!join from=source
+    to=source}lang:de` (same-core join): admissible docs are those
+    whose SOURCE also produced a German doc. join_docs distincts the
+    child value domain before the semi-join, then the (doc_id) frame
+    masks the block-max WAND heap rank-safely like any fq."""
+    from spcht_spark.index.join import join_docs
+    from spcht_spark.index.wand import wand_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    attrs = docs.select("doc_id", "source", "lang")
+    doc_filter = join_docs(attrs, "source", attrs, "source", "lang:de")
+    qs = [(qid, ts, DOC_K + 5) for qid, ts in DOC_QUERIES]
+    out = wand_topk(
+        spark, idx.blocks, idx.dictionary, idx.stats, qs,
+        doc_filter=doc_filter, shard_span=_INDEX_SHARD_SPAN,
+    )
+    return _rerank_rounded(out)
+
+
+def _join_filter_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  adm AS (
+    SELECT s.* FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    WHERE EXISTS (SELECT 1 FROM documents d2
+                  WHERE d2.source = d.source AND d2.lang = 'de')),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM adm)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
+"""
+
+
+# Query-time synonym map (pre-analyzed) and the queries exercising it.
+_SYN_MAP = {"spark": ["join"], "stream": ["batch"]}
+_SYN_QUERIES = [("syn_one", "spark"), ("syn_or", "window OR stream")]
+_SYN_EXPANDED = [
+    ("syn_one", ["spark", "join"]),
+    ("syn_or", ["window", "stream", "batch"]),
+]
+
+
+def q_index_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonyms (Solr SynonymGraphFilter on the query
+    chain): spark≡join, stream≡batch. Each expanded alternative scores
+    with its own idf (Lucene scoring-boolean rewrite); the expansion
+    happens on the AST before routing, so a flat synonym OR still
+    rides the pruned block-max WAND path."""
+    from spcht_spark.index.boolean import boolean_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    qs = [(qid, s, DOC_K + 5) for qid, s in _SYN_QUERIES]
+    out = boolean_topk(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, qs,
+        synonyms=_SYN_MAP, shard_span=_INDEX_SHARD_SPAN,
+    )
+    return _rerank_rounded(out)
+
+
+def _synonym_sql() -> str:
+    vals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in _SYN_EXPANDED for t in ts
+    )
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
+"""
+
+
+_SUBFACET_L1, _SUBFACET_L2 = 3, 2
+
+
+def q_index_subfacets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr JSON Facet API — terms facet (lang, limit 3) with a nested
+    terms subfacet (source, limit 2) and a sum(n_chars) bucket metric,
+    over each query's matching doc set. One leaf-level groupBy touches
+    the docs; level 1 rolls up bucket rows, both limits through the
+    salted two-stage window."""
+    from spcht_spark.index.facets import json_subfacets
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return json_subfacets(
+        spark, idx.blocks, DOC_QUERIES,
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        "lang", "source", _SUBFACET_L1, _SUBFACET_L2, metric="n_chars",
+    )
+
+
+def _subfacets_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  q(query_id, term) AS (VALUES {vals}),
+  m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+  j AS (SELECT m.query_id, d.lang AS value1, d.source AS value2, d.n_chars
+        FROM m JOIN documents d USING (doc_id)),
+  leaves AS (SELECT query_id, value1, value2, count(*)::BIGINT AS n2,
+                    sum(n_chars)::DOUBLE AS m2
+             FROM j GROUP BY query_id, value1, value2),
+  l1 AS (SELECT query_id, value1, sum(n2)::BIGINT AS n1,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sum(n2) DESC, value1) AS r1
+         FROM leaves GROUP BY query_id, value1),
+  top1 AS (SELECT query_id, value1, n1 FROM l1 WHERE r1 <= {_SUBFACET_L1}),
+  nested AS (
+    SELECT l.query_id, l.value1, t.n1, l.value2, l.n2, l.m2,
+           row_number() OVER (PARTITION BY l.query_id, l.value1
+                              ORDER BY l.n2 DESC, l.value2) AS r2
+    FROM leaves l JOIN top1 t USING (query_id, value1))
+SELECT query_id, value1, n1, value2, n2, m2 FROM nested WHERE r2 <= {_SUBFACET_L2}
+"""
+
+
 # ------------------------------------------------- index-stats aggregates
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2531,6 +2856,47 @@ FROM reach GROUP BY id
 """
 
 
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup clustering (the semantic twin of
+    minhash_dedup), oracled by its DECISIONS like the other hash ops:
+    (id → component, keep) must equal connected components over the
+    exact cos ≥ 0.45 graph, which DuckDB computes independently from
+    all pairs via a recursive CTE. The engine generates candidates
+    through 24 sign-bit tables of 2 hyperplanes (miss prob for a
+    borderline pair ≈ (1 − 0.64²)^24 ≈ 2e-6) and recomputes EXACT
+    cosine per candidate — the LSH only gates candidate generation.
+    At a production threshold (0.9+) fewer tables of more planes give
+    the same recall with far smaller buckets; 0.45 matches this
+    synthetic table's top pair range."""
+    from spcht_spark.functions.dedup import embedding_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dedup(
+        emb, "embedding", "vec_id", threshold=0.45,
+        n_planes=2, n_tables=24, dim=64,
+    ).select(F.col("id").alias("vec_id"), "component", "keep")
+
+
+Q_EMBEDDING_DEDUP_SQL = """
+WITH RECURSIVE
+good AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                x -> x[1]::DOUBLE * x[2]::DOUBLE))
+        / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+           * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+        >= 0.45),
+edges AS (SELECT a, b FROM good UNION SELECT b, a FROM good),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id)
+SELECT id AS vec_id, min(r)::BIGINT AS component, (id = min(r)) AS keep
+FROM reach GROUP BY id
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash, md5-bit-lane variant: every fingerprint value is
     reproduced bit-for-bit by the DuckDB oracle (bit i = bit i%4 of hex
@@ -2714,6 +3080,11 @@ _ALL_QUERIES = {
     "index_term_boosts": q_index_term_boosts,
     "index_explain": q_index_explain,
     "index_terms_component": q_index_terms_component,
+    "index_rerank_topk": q_index_rerank_topk,
+    "index_elevate": q_index_elevate,
+    "index_join_filter": q_index_join_filter,
+    "index_synonym_topk": q_index_synonym_topk,
+    "index_subfacets": q_index_subfacets,
     "term_stats": q_term_stats,
     "doclen_hist": q_doclen_hist,
     "regex_match_filter": q_regex_match_filter,
@@ -2744,6 +3115,7 @@ _ALL_QUERIES = {
     "token_stats": q_token_stats,
     "minhash_dedup": q_minhash_dedup,
     "minhash_dedup_bounded": q_minhash_dedup_bounded,
+    "embedding_dedup": q_embedding_dedup,
     "simhash": q_simhash,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ann_ivf": q_embedding_ann_ivf,
@@ -2776,6 +3148,12 @@ OVERFLOW_QUERY_NAMES = [
     "distinct_agg",
     "token_count",
     "language_id",
+    "quality_score",
+    "joined_map_zip",
+    "broadcast_dim_join",
+    "rollup_agg",
+    "antijoin_purge",
+    "tumbling_window_counts",
 ]
 DRIVER_QUERY_NAMES = [
     n for n in _ALL_QUERIES if n not in OVERFLOW_QUERY_NAMES
@@ -2819,6 +3197,11 @@ ORACLES = {
     "index_term_boosts": _term_boosts_sql(),
     "index_explain": _explain_sql(),
     "index_terms_component": _terms_component_sql(),
+    "index_rerank_topk": _rerank_sql(),
+    "index_elevate": _elevate_sql(),
+    "index_join_filter": _join_filter_sql(),
+    "index_synonym_topk": _synonym_sql(),
+    "index_subfacets": _subfacets_sql(),
     "term_stats": Q_TERM_STATS_SQL,
     "doclen_hist": Q_DOCLEN_HIST_SQL,
     "regex_match_filter": Q_REGEX_MATCH_SQL,
@@ -2851,6 +3234,7 @@ ORACLES = {
     # SQL-reproducible (md5) hashing:
     "minhash_dedup": Q_MINHASH_DEDUP_SQL,  # clusters vs exact-Jaccard CC
     "minhash_dedup_bounded": Q_MINHASH_DEDUP_SQL,  # bounded == exact on oracle data
+    "embedding_dedup": Q_EMBEDDING_DEDUP_SQL,  # LSH candidates vs exact-cos CC
     "simhash": Q_SIMHASH_SQL,  # md5 bit lanes, value-exact
     "embedding_ann_lsh": Q_COSINE_SQL,  # ANN result vs exact top-k (recall=1)
     "embedding_ann_ivf": Q_COSINE_SQL,  # all-cells probe == exact top-k

@@ -278,6 +278,43 @@ def expand_fuzzy_ast(
     return rewrite(ast)
 
 
+def expand_synonyms_ast(ast: Ast, synonyms: dict[str, list[str]]) -> Ast:
+    """Query-time synonym expansion (Solr SynonymGraphFilter on the
+    query analyzer chain): every positive OR negated ``('term', t)``
+    whose ``t`` keys ``synonyms`` rewrites to a flat OR of itself and
+    its synonyms — each alternative scored with its OWN idf (Lucene's
+    SynonymQuery ≈ scoring-boolean rewrite; the engine scores each
+    term clause once, same as the fuzzy expansion). A per-term boost
+    propagates to every alternative (Solr: the boost wraps the whole
+    expanded clause). Under NOT the OR-expansion is exactly Solr's
+    semantics too: ``-x`` with x≡y excludes docs containing either.
+
+    The synonym map must be pre-analyzed with the index's analyzer
+    (callers hold the map; the engine never guesses foldings).  Purely
+    driver-side AST rewrite — zero plan cost beyond the extra terms'
+    postings, which ride the same pruned block scan."""
+
+    def rewrite(a: Ast) -> Ast:
+        kind = a[0]
+        if kind == "term":
+            alts = synonyms.get(a[1])
+            if not alts:
+                return a
+            boost = a[2:] if len(a) > 2 else ()
+            seen: list[str] = [a[1]]
+            for s in alts:
+                if s not in seen:
+                    seen.append(s)
+            return ("or", [("term", t, *boost) for t in seen])
+        if kind == "not":
+            return ("not", rewrite(a[1]))
+        if kind in ("and", "or"):
+            return (kind, [rewrite(c) for c in a[1]])
+        return a
+
+    return rewrite(ast)
+
+
 def _satisfiable_without_terms(ast: Ast) -> bool:
     """True if SOME truth assignment of the attribute clauses makes the
     query match a doc containing none of its fulltext terms — such docs
@@ -482,6 +519,7 @@ def boolean_matches(
     doc_filter: DataFrame | None = None,
     attrs: DataFrame | None = None,
     analyzer: str | None = None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """ALL admissible (query_id, doc_id, score) rows of a batch of
     boolean query strings — the full matching set, pre-top-k (what
@@ -505,7 +543,14 @@ def boolean_matches(
     predicates, the reference's `last_indexed:[t TO *]` pattern
     (WorkOrder.py:702-707). Attr clauses never score."""
     parsed = [
-        (qid, expand_fuzzy_ast(parse_query(qs, analyzer), dictionary), k)
+        (
+            qid,
+            expand_fuzzy_ast(
+                expand_synonyms_ast(parse_query(qs, analyzer), synonyms or {}),
+                dictionary,
+            ),
+            k,
+        )
         for qid, qs, k in queries
     ]
     need_fields = sorted({f for _, ast, _ in parsed for f in ast_attr_fields(ast)})
@@ -648,6 +693,7 @@ def boolean_topk(
     analyzer: str | None = None,
     shard_span: int | None = None,
     prune: bool = True,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Top-k for a batch of boolean query strings.
 
@@ -669,7 +715,10 @@ def boolean_topk(
     ands: list[tuple[str, list[str], int]] = []
     full: list[tuple[str, str, int]] = []
     for qid, qs, k in queries:
-        ast = expand_fuzzy_ast(parse_query(qs, analyzer), dictionary)
+        ast = expand_fuzzy_ast(
+            expand_synonyms_ast(parse_query(qs, analyzer), synonyms or {}),
+            dictionary,
+        )
         if prune:
             ts = _flat_plain_terms(ast, "or")
             if ts is not None and (doc_filter is None or shard_span is not None):
@@ -697,6 +746,7 @@ def boolean_topk(
         matches = boolean_matches(
             spark, blocks, doclens, dictionary, stats, full,
             doc_filter=doc_filter, attrs=attrs, analyzer=analyzer,
+            synonyms=synonyms,
         )
         parts.append(topk(matches, {qid: k for qid, _, k in full}))
     if not parts:

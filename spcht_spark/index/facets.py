@@ -75,6 +75,8 @@ def facet_counts(
     limit: int | None = None,
     mincount: int = 0,
     sort: str = "count",
+    prefix: str | None = None,
+    missing: bool = False,
 ) -> DataFrame:
     """(query_id, field, value, n) — per-query facet counts.
 
@@ -88,6 +90,15 @@ def facet_counts(
     salted window as every ranked surface, so no reducer ever holds
     one (query, facet)'s full bucket list. ``limit=None`` returns all
     buckets (the unlimited legacy shape).
+
+    ``prefix`` is Solr ``facet.prefix``: only buckets whose string
+    value starts with it survive (applied BEFORE mincount/limit, Solr
+    order — and pushed below the count aggregation here, so pruned
+    buckets never shuffle). ``missing=True`` is ``facet.missing``:
+    one extra NULL-valued bucket per (query, facet) counts matched
+    docs with no value in the field — the attrs join flips to LEFT so
+    docs absent from the attrs table count too (they are in the
+    DocSet; Solr counts them).
 
     ``facets`` maps a facet name to either a Column over ``attrs``
     producing the bucket value (a plain column for ``facet.field``, a
@@ -123,16 +134,21 @@ def facet_counts(
             for c in (cols if cols is not None else _referenced(attrs, col))
         }
     )
-    joined = match.join(attrs.select(*[c for c in need]), "doc_id")
+    joined = match.join(
+        attrs.select(*[c for c in need]), "doc_id", "left" if missing else "inner"
+    )
 
     if sort not in ("count", "index"):
         raise ValueError(f"facet sort must be 'count' or 'index', got {sort!r}")
     outs = []
     for name in sorted(specs):
+        value = specs[name][0].cast("string")
+        grouped = joined
+        if prefix is not None:
+            keep = value.startswith(prefix)
+            grouped = grouped.filter(keep | value.isNull() if missing else keep)
         outs.append(
-            joined.groupBy(
-                "query_id", specs[name][0].cast("string").alias("value")
-            )
+            grouped.groupBy("query_id", value.alias("value"))
             .agg(F.count(F.lit(1)).alias("n"))
             .select(
                 "query_id", F.lit(name).alias("field"), "value", "n"
@@ -144,27 +160,115 @@ def facet_counts(
     if mincount > 0:
         res = res.filter(F.col("n") >= mincount)
     if limit is not None:
-        from pyspark.sql import Window
-
         order = (
             (F.desc("n"), F.asc("value"))
             if sort == "count"
             else (F.asc("value"),)
         )
-        w_salt = Window.partitionBy("query_id", "field", "salt").orderBy(*order)
-        res = (
-            res.withColumn("salt", F.pmod(F.xxhash64("value"), F.lit(64)))
-            .withColumn("r1", F.row_number().over(w_salt))
-            .filter(F.col("r1") <= limit)
-            .drop("salt", "r1")
-        )
-        w = Window.partitionBy("query_id", "field").orderBy(*order)
-        res = (
-            res.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= limit)
-            .drop("r")
-        )
+        # facet.missing's NULL bucket is appended OUTSIDE the limit in
+        # Solr's response; exempt it from the window the same way.
+        nullb = res.filter(F.col("value").isNull()) if missing else None
+        if missing:
+            res = res.filter(F.col("value").isNotNull())
+        res = _bucket_limit(res, ["query_id", "field"], order, limit)
+        if nullb is not None:
+            res = res.unionByName(nullb)
     return res
+
+
+def _bucket_limit(
+    res: DataFrame, part_cols: list[str], order: tuple, limit: int
+) -> DataFrame:
+    """Per-partition top-``limit`` rows via the two-stage salted window
+    (shared by facet_counts and json_subfacets): a per-salt partial
+    top-limit first, so no reducer ever holds one partition's full
+    bucket list, then the exact window over ≤ 64·limit rows."""
+    from pyspark.sql import Window
+
+    w_salt = Window.partitionBy(*part_cols, "salt").orderBy(*order)
+    res = (
+        res.withColumn("salt", F.pmod(F.xxhash64("value"), F.lit(64)))
+        .withColumn("r1", F.row_number().over(w_salt))
+        .filter(F.col("r1") <= limit)
+        .drop("salt", "r1")
+    )
+    w = Window.partitionBy(*part_cols).orderBy(*order)
+    return (
+        res.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= limit)
+        .drop("r")
+    )
+
+
+def json_subfacets(
+    spark: SparkSession,
+    blocks: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    attrs: DataFrame,
+    field1: str,
+    field2: str,
+    limit1: int,
+    limit2: int,
+    metric: str | None = None,
+    doc_filter: DataFrame | None = None,
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """Solr JSON Facet API — a terms facet with a NESTED terms subfacet
+    and an optional per-bucket numeric metric::
+
+        json.facet={f1:{type:terms, field:F1, limit:L1,
+                        facet:{f2:{type:terms, field:F2, limit:L2,
+                                   m:"sum(METRIC)"}}}}
+
+    Returns (query_id, value1, n1, value2, n2[, m2]): the top-``limit1``
+    F1 buckets per query (count desc, value asc — the API's default
+    ``sort:"count"``), and within each the top-``limit2`` F2 buckets,
+    ``m2`` = sum(metric) over the nested bucket when ``metric`` names a
+    numeric attrs column. ``n1`` is the PARENT bucket's full count —
+    computed by summing the leaf counts, so the doc set aggregates
+    exactly once.
+
+    Scale shape: one groupBy to the leaf level (query, v1, v2) — the
+    only pass over the matching set — then bucket-level (not doc-level)
+    rollup to level 1; both per-level limits run through the two-stage
+    salted window (no reducer holds a full bucket list of a
+    high-cardinality field). The level-1 survivors semi-join the leaf
+    table on (query_id, value1): broadcastable (≤ |queries|·limit1
+    rows)."""
+    if match is None:
+        match = matching_docs(spark, blocks, queries)
+    else:
+        match = match.select("query_id", "doc_id")
+    if doc_filter is not None:
+        match = match.join(doc_filter.select("doc_id"), "doc_id", "semi")
+    cols = ["doc_id", field1, field2] + ([metric] if metric else [])
+    j = match.join(attrs.select(*dict.fromkeys(cols)), "doc_id")
+
+    aggs = [F.count(F.lit(1)).alias("n2")]
+    if metric:
+        aggs.append(F.sum(F.col(metric).cast("double")).alias("m2"))
+    leaves = j.groupBy(
+        "query_id",
+        F.col(field1).cast("string").alias("value1"),
+        F.col(field2).cast("string").alias("value2"),
+    ).agg(*aggs)
+
+    order = (F.desc("n"), F.asc("value"))
+    top1 = _bucket_limit(
+        leaves.groupBy("query_id", F.col("value1").alias("value"))
+        .agg(F.sum("n2").alias("n")),
+        ["query_id"], order, limit1,
+    ).select("query_id", F.col("value").alias("value1"), F.col("n").alias("n1"))
+
+    nested = leaves.join(F.broadcast(top1), ["query_id", "value1"])
+    nested = _bucket_limit(
+        nested.withColumn("n", F.col("n2")).withColumn("value", F.col("value2")),
+        ["query_id", "value1"], order, limit2,
+    ).drop("n", "value")
+    out_cols = ["query_id", "value1", "n1", "value2", "n2"]
+    if metric:
+        out_cols.append("m2")
+    return nested.select(*out_cols)
 
 
 def field_stats(

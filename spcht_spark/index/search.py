@@ -30,6 +30,7 @@ from spcht_spark.index.boolean import (
     boolean_matches,
     boolean_topk,
     expand_fuzzy_ast,
+    expand_synonyms_ast,
     parse_query,
     positive_terms,
 )
@@ -63,6 +64,13 @@ class SearchRequest:
     stats_field: str | None = None           # stats.field
     hl: bool = False                         # highlight
     hl_window: int = 4
+    synonyms: dict[str, list[str]] | None = None  # query-time synonym map
+                                             # (pre-analyzed; SynonymGraphFilter)
+    rerank: tuple[str, int, float] | None = None  # rq={!rerank}: (reRankQuery,
+                                             # reRankDocs, reRankWeight)
+    elevate_ids: list | None = None          # QueryElevationComponent: pinned
+                                             # doc ids, in elevation order
+    exclude_ids: list | None = None          # elevation excludes
 
 
 @dataclass
@@ -97,7 +105,10 @@ def search(
     whole DocSet (facets, stats) keep the full match pass and share it
     (one parsed query, one match pass — Solr's shared DocSet)."""
     ast = expand_fuzzy_ast(
-        parse_query(request.q, index.analyzer), index.dictionary
+        expand_synonyms_ast(
+            parse_query(request.q, index.analyzer), request.synonyms or {}
+        ),
+        index.dictionary,
     )
     terms = sorted(ast_terms(ast))
     attrs = (
@@ -120,6 +131,11 @@ def search(
         + bool(request.facet_pivot)
         + bool(request.group_field)
     )
+    # Post-processors need extra candidates: the rerank window must be
+    # fully fetched, and every excluded doc frees a page slot.
+    n_fetch = request.start + request.k + len(request.exclude_ids or [])
+    if request.rerank:
+        n_fetch = max(n_fetch, request.rerank[1])
     if n_components == 1:
         hits = boolean_topk(
             spark,
@@ -127,11 +143,12 @@ def search(
             index.doclens,
             index.dictionary,
             index.stats,
-            [(query_id, request.q, request.start + request.k)],
+            [(query_id, request.q, n_fetch)],
             doc_filter=fq,
             attrs=attrs,  # enables field:value / field:[lo TO hi] clauses in q
             analyzer=index.analyzer,
             shard_span=index.shard_span,
+            synonyms=request.synonyms,
         )
     else:
         matches = boolean_matches(
@@ -144,10 +161,35 @@ def search(
             doc_filter=fq,
             attrs=attrs,
             analyzer=index.analyzer,
+            synonyms=request.synonyms,
         )
         # one match pass feeds hits + facets + stats (Solr's shared DocSet)
         matches = matches.localCheckpoint(eager=False)
-        hits = topk(matches, {query_id: request.start + request.k})
+        hits = topk(matches, {query_id: n_fetch})
+    if request.rerank:
+        from spcht_spark.index.rerank import rerank_topk
+
+        rq_str, rerank_docs, weight = request.rerank
+        # Score the rerank query ONLY over the re-rank window's docs —
+        # the doc_filter keeps the rq pass candidate-bounded (Solr
+        # reranks a collected window, it never re-runs a full search).
+        window_ids = hits.filter(F.col("rank") <= rerank_docs).select("doc_id")
+        rr = boolean_matches(
+            spark, index.blocks, index.doclens, index.dictionary, index.stats,
+            [(query_id, rq_str, 1)],
+            doc_filter=window_ids, attrs=attrs,
+            analyzer=index.analyzer, synonyms=request.synonyms,
+        ).select("query_id", "doc_id", "score")
+        hits = rerank_topk(hits, rr, rerank_docs, weight)
+    if request.elevate_ids or request.exclude_ids:
+        from spcht_spark.index.rerank import elevate_hits
+
+        hits = elevate_hits(
+            spark, hits,
+            {query_id: request.elevate_ids or []},
+            {query_id: request.exclude_ids or []} if request.exclude_ids else None,
+        )
+    hits = hits.filter(F.col("rank") <= request.start + request.k)
     if request.start:
         # Solr start=N: keep absolute ranks, drop the first N rows
         hits = hits.filter(F.col("rank") > request.start)

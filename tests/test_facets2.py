@@ -1,0 +1,153 @@
+"""facet.prefix / facet.missing and the JSON Facet API nested subfacets
+(terms facet inside a terms facet, with a per-bucket metric)."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from spcht_spark.index.facets import facet_counts, json_subfacets
+from spcht_spark.oracle import tokenize_py
+
+QUERIES = [("fq", ["return", "if"])]
+
+
+def _match_docs(pdf, terms):
+    return {
+        int(r.doc_id)
+        for r in pdf.itertuples()
+        if set(tokenize_py(r.content)) & set(terms)
+    }
+
+
+def test_facet_prefix(spark, small_corpus_pd, small_corpus, small_index):
+    got = Counter()
+    for r in facet_counts(
+        spark, small_index.blocks, QUERIES,
+        small_corpus.select("doc_id", "repo"),
+        {"repo": F.col("repo")},
+        prefix="org1/",
+    ).collect():
+        got[(r["query_id"], r["field"], r["value"])] = r["n"]
+    docs = _match_docs(small_corpus_pd, QUERIES[0][1])
+    want = Counter()
+    for r in small_corpus_pd.itertuples():
+        if int(r.doc_id) in docs and r.repo.startswith("org1/"):
+            want[("fq", "repo", r.repo)] += 1
+    assert got == want and want
+
+
+def test_facet_missing_counts_nulls_and_absent(spark, small_corpus_pd, small_index):
+    """facet.missing: NULL-valued docs AND docs absent from the attrs
+    table land in the NULL bucket; with a limit the NULL bucket rides
+    outside the window (Solr appends it after the top buckets)."""
+    docs = sorted(_match_docs(small_corpus_pd, QUERIES[0][1]))
+    assert len(docs) >= 10
+    nulled = set(docs[:3])       # present in attrs, lang NULL
+    absent = set(docs[3:6])      # not in attrs at all
+    rows = [
+        (int(r.doc_id), None if int(r.doc_id) in nulled else r.lang)
+        for r in small_corpus_pd.itertuples()
+        if int(r.doc_id) not in absent
+    ]
+    attrs = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    got = {
+        r["value"]: r["n"]
+        for r in facet_counts(
+            spark, small_index.blocks, QUERIES, attrs,
+            {"lang": F.col("lang")}, missing=True,
+        ).collect()
+    }
+    want = defaultdict(int)
+    for r in small_corpus_pd.itertuples():
+        if int(r.doc_id) not in docs:
+            continue
+        if int(r.doc_id) in nulled or int(r.doc_id) in absent:
+            want[None] += 1
+        else:
+            want[r.lang] += 1
+    assert got == dict(want)
+    assert got[None] == 6
+
+    # limit=1: exactly the hottest bucket plus the NULL bucket
+    got_lim = {
+        r["value"]: r["n"]
+        for r in facet_counts(
+            spark, small_index.blocks, QUERIES, attrs,
+            {"lang": F.col("lang")}, missing=True, limit=1,
+        ).collect()
+    }
+    hot = sorted(
+        (v for v in want if v is not None),
+        key=lambda v: (-want[v], v),
+    )[0]
+    assert got_lim == {hot: want[hot], None: want[None]}
+
+
+def test_facet_missing_false_unchanged(spark, small_corpus_pd, small_corpus, small_index):
+    """Default missing=False keeps the round-3 behaviour bit-for-bit
+    (inner attrs join, no exempt bucket)."""
+    base = facet_counts(
+        spark, small_index.blocks, QUERIES,
+        small_corpus.select("doc_id", "lang"), {"lang": F.col("lang")},
+    ).collect()
+    docs = _match_docs(small_corpus_pd, QUERIES[0][1])
+    want = Counter()
+    for r in small_corpus_pd.itertuples():
+        if int(r.doc_id) in docs:
+            want[r.lang] += 1
+    assert {r["value"]: r["n"] for r in base} == dict(want)
+
+
+def test_json_subfacets(spark, small_corpus_pd, small_corpus, small_index):
+    """Nested terms facet lang→repo with a sum(n_lines-ish) metric vs a
+    pandas recompute honouring both per-level limits."""
+    attrs = small_corpus.select(
+        "doc_id", "lang", "repo", F.length("content").alias("nc")
+    )
+    got = [
+        (r["value1"], r["n1"], r["value2"], r["n2"], round(r["m2"], 3))
+        for r in json_subfacets(
+            spark, small_index.blocks, QUERIES, attrs,
+            "lang", "repo", limit1=2, limit2=3, metric="nc",
+        ).collect()
+    ]
+
+    docs = _match_docs(small_corpus_pd, QUERIES[0][1])
+    pdf = small_corpus_pd[small_corpus_pd["doc_id"].astype(int).isin(docs)].copy()
+    pdf["nc"] = pdf["content"].str.len()
+    l1 = (
+        pdf.groupby("lang").size().reset_index(name="n1")
+        .sort_values(["n1", "lang"], ascending=[False, True])
+        .head(2)
+    )
+    want = []
+    for _, row in l1.iterrows():
+        sub = pdf[pdf["lang"] == row["lang"]]
+        l2 = (
+            sub.groupby("repo")
+            .agg(n2=("repo", "size"), m2=("nc", "sum"))
+            .reset_index()
+            .sort_values(["n2", "repo"], ascending=[False, True])
+            .head(3)
+        )
+        for _, r2 in l2.iterrows():
+            want.append(
+                (row["lang"], int(row["n1"]), r2["repo"], int(r2["n2"]),
+                 round(float(r2["m2"]), 3))
+            )
+    assert sorted(got) == sorted(want) and want
+
+
+def test_json_subfacets_no_metric(spark, small_corpus, small_corpus_pd, small_index):
+    out = json_subfacets(
+        spark, small_index.blocks, QUERIES,
+        small_corpus.select("doc_id", "lang", "repo"),
+        "lang", "repo", limit1=1, limit2=2,
+    )
+    assert out.columns == ["query_id", "value1", "n1", "value2", "n2"]
+    rows = out.collect()
+    assert rows and len({r["value1"] for r in rows}) == 1
+    assert len(rows) <= 2
