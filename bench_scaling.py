@@ -126,29 +126,56 @@ def _one_run(cores: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def run_levels() -> tuple[dict, dict]:
-    """Median of REPEATS cold one-shot runs per level (fresh pinned JVM
-    each), INTERLEAVED lo,hi,lo,hi,…: this VM's memcg page-fault
-    storms come in multi-minute episodes, so a lo-lo-lo-hi-hi-hi order
-    lets one episode land entirely on one level and swing the ratio by
-    3x+ for identical code (measured). Interleaving spreads an episode
-    across both levels; the median tames the rest."""
+# Kernel-quiet gate: a run whose system-CPU share of its core-seconds
+# exceeds this is a memcg-storm casualty (clean legs measure ~9%; storm
+# legs 25%+ — the 240k 3-repeat run recorded hi legs of 159 s clean vs
+# 291 s with 26% sys for identical code). Contaminated runs are
+# RECORDED (storm_runs in the output — nothing is hidden) but replaced:
+# the retried run measures the plan, the stormy one measures the host.
+QUIET_SYS_FRAC = float(os.environ.get("SPCHT_SCALE_QUIET_FRAC", "0.15"))
+MAX_RETRIES = int(os.environ.get("SPCHT_SCALE_RETRIES", "2"))
+
+
+def _sys_frac(r: dict) -> float:
+    return r["sys_cpu_s"] / (r["cores"] * r["seconds"])
+
+
+def _quiet_run(cores: int, storms: list[dict]) -> dict:
+    for attempt in range(MAX_RETRIES + 1):
+        r = _one_run(cores)
+        r["sys_frac"] = round(_sys_frac(r), 3)
+        if r["sys_frac"] <= QUIET_SYS_FRAC or attempt == MAX_RETRIES:
+            return r
+        storms.append(r)
+    raise AssertionError("unreachable")
+
+
+def run_levels() -> tuple[dict, dict, list[dict]]:
+    """Median of REPEATS kernel-quiet cold one-shot runs per level
+    (fresh pinned JVM each), INTERLEAVED lo,hi,lo,hi,…: this VM's memcg
+    page-fault storms come in multi-minute episodes, so a lo-lo-lo-hi-
+    hi-hi order lets one episode land entirely on one level and swing
+    the ratio by 3x+ for identical code (measured). Interleaving
+    spreads an episode across both levels, the sys-CPU gate retries
+    runs a storm landed on anyway, and the median tames the rest."""
     per: dict[int, list[dict]] = {LO: [], HI: []}
+    storms: list[dict] = []
     for _ in range(REPEATS):
-        per[LO].append(_one_run(LO))
-        per[HI].append(_one_run(HI))
+        per[LO].append(_quiet_run(LO, storms))
+        per[HI].append(_quiet_run(HI, storms))
 
     def med(cores: int) -> dict:
         rs = sorted(per[cores], key=lambda r: r["seconds"])
         m = dict(rs[len(rs) // 2])
         m["all_seconds"] = [r["seconds"] for r in per[cores]]
+        m["all_sys_frac"] = [r["sys_frac"] for r in per[cores]]
         return m
 
-    return med(LO), med(HI)
+    return med(LO), med(HI), storms
 
 
 def main() -> None:
-    lo, hi = run_levels()
+    lo, hi, storms = run_levels()
     ratio = HI / LO
     eff = hi["files_per_sec"] / (ratio * lo["files_per_sec"])
     # Work conservation: parallel overhead in compute terms. On a host
@@ -177,6 +204,11 @@ def main() -> None:
                 "cpu_work_ratio_hi_over_lo": cpu_ratio,
                 "query_scaling_efficiency": q_eff,
                 "corpus_docs": N_DOCS,
+                "quiet_sys_frac_gate": QUIET_SYS_FRAC,
+                "storm_runs": [
+                    {k: s[k] for k in ("cores", "seconds", "sys_frac")}
+                    for s in storms
+                ],
             }
         )
     )

@@ -113,6 +113,24 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--group-limit", type=int, default=1)
     sp.add_argument("--stats-field", default=None)
     sp.add_argument("--hl", action="store_true")
+    sp.add_argument("--facet-prefix", default=None,
+                    help="facet.prefix: only buckets starting with this")
+    sp.add_argument("--facet-missing", action="store_true",
+                    help="facet.missing: add the NULL bucket")
+    sp.add_argument("--facet-limit", type=int, default=None)
+    sp.add_argument("--json-facet", default=None, metavar="F1,F2,L1,L2[,M]",
+                    help="JSON Facet API nested terms facet with optional "
+                         "sum metric column")
+    sp.add_argument("--rerank", default=None, metavar="Q,N,W",
+                    help="rq={!rerank}: rerank query string, reRankDocs, "
+                         "reRankWeight (Q must not contain commas)")
+    sp.add_argument("--elevate", nargs="*", type=int, default=None,
+                    metavar="DOC_ID", help="elevation: pinned ids in order")
+    sp.add_argument("--exclude", nargs="*", type=int, default=None,
+                    metavar="DOC_ID", help="elevation: excluded ids")
+    sp.add_argument("--synonym", nargs="*", default=[],
+                    metavar="TERM=ALT|ALT2",
+                    help="query-time synonym entries (pre-analyzed)")
 
     for verb in ("check-descriptor", "compile-descriptor", "descriptor-fields"):
         sp = sub.add_parser(verb)
@@ -235,9 +253,46 @@ def main(argv: list[str] | None = None) -> int:
             if owns_session:
                 spark.stop()
             return 2
+        bad_syn = [s for s in args.synonym if "=" not in s]
+        if bad_syn:
+            print(f"error: --synonym entries need TERM=ALT|ALT2: {bad_syn}",
+                  file=sys.stderr)
+            if owns_session:
+                spark.stop()
+            return 2
+        rerank = None
+        if args.rerank:
+            try:
+                rq_s, rn, rw = args.rerank.rsplit(",", 2)
+                rerank = (rq_s, int(rn), float(rw))
+            except ValueError:
+                print("error: --rerank needs Q,N,W (e.g. 'hash,20,2.0')",
+                      file=sys.stderr)
+                if owns_session:
+                    spark.stop()
+                return 2
+        json_facet = None
+        if args.json_facet:
+            parts = args.json_facet.split(",")
+            if len(parts) not in (4, 5):
+                print("error: --json-facet needs F1,F2,L1,L2[,METRIC]",
+                      file=sys.stderr)
+                if owns_session:
+                    spark.stop()
+                return 2
+            try:
+                json_facet = (parts[0], parts[1], int(parts[2]), int(parts[3]),
+                              *parts[4:])
+            except ValueError:
+                print("error: --json-facet limits must be integers",
+                      file=sys.stderr)
+                if owns_session:
+                    spark.stop()
+                return 2
         needs_store = bool(
             args.fl or args.facet or args.stats_field or args.hl or args.fq
             or args.facet_query or args.facet_pivot or args.group_field
+            or json_facet
         )
         if not needs_store:
             # field:value / field:[lo TO hi] clauses inside q evaluate
@@ -288,6 +343,17 @@ def main(argv: list[str] | None = None) -> int:
                 group_limit=args.group_limit,
                 stats_field=args.stats_field,
                 hl=args.hl,
+                facet_prefix=args.facet_prefix,
+                facet_missing=args.facet_missing,
+                facet_limit=args.facet_limit,
+                json_facet=json_facet,
+                rerank=rerank,
+                elevate_ids=args.elevate,
+                exclude_ids=args.exclude,
+                synonyms={
+                    k: v.split("|")
+                    for k, v in (s.split("=", 1) for s in args.synonym)
+                } or None,
             ),
             id_col=args.id_col, content_col=args.content_col,
         )
@@ -308,6 +374,9 @@ def main(argv: list[str] | None = None) -> int:
         if resp.groups is not None:
             for r in resp.groups.orderBy("grp_rank", "doc_rank").collect():
                 print(json.dumps({"group": r.asDict()}, default=str))
+        if resp.json_facets is not None:
+            for r in resp.json_facets.orderBy("value1", "value2").collect():
+                print(json.dumps({"json_facet": r.asDict()}, default=str))
     elif args.verb == "query":
         idx = load_index(spark, args.workdir)
         if idx.analyzer:

@@ -51,8 +51,9 @@ def join_docs(
         .select(F.col(from_col).alias("_jv"))
         .distinct()
     )
-    return (
-        to.join(values, to[to_col] == values._jv, "leftsemi")
-        .select(F.col(id_col).alias("doc_id"))
-        .distinct()
+    # ``to`` is a doc-attribute table: unique on id_col by contract
+    # (same assumption as fq_filter), and leftsemi preserves that — no
+    # distinct, no extra shuffle.
+    return to.join(values, to[to_col] == values._jv, "leftsemi").select(
+        F.col(id_col).alias("doc_id")
     )

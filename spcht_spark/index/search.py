@@ -59,6 +59,13 @@ class SearchRequest:
                                              # attrs join explicitly
     facet_queries: dict[str, str] | None = None  # facet.query=<boolean q>
     facet_pivot: tuple[str, str] | None = None   # facet.pivot=f1,f2
+    facet_prefix: str | None = None          # facet.prefix
+    facet_missing: bool = False              # facet.missing
+    facet_limit: int | None = None           # facet.limit
+    facet_mincount: int = 0                  # facet.mincount
+    json_facet: tuple | None = None          # JSON Facet API nested terms:
+                                             # (field1, field2, limit1,
+                                             #  limit2[, metric_col])
     group_field: str | None = None           # group=true&group.field=f
     group_limit: int = 1                     # group.limit
     stats_field: str | None = None           # stats.field
@@ -80,6 +87,8 @@ class SearchResponse:
     stats: DataFrame | None = None
     facet_query: DataFrame | None = None     # (query_id, facet, n)
     pivot: DataFrame | None = None           # (query_id, value1, value2, n)
+    json_facets: DataFrame | None = None     # (query_id, value1, n1,
+                                             #  value2, n2[, m2])
     groups: DataFrame | None = None          # (query_id, grp_rank, grp,
                                              #  grp_n, doc_rank, doc_id, score)
 
@@ -130,6 +139,7 @@ def search(
         + bool(request.facet_queries)
         + bool(request.facet_pivot)
         + bool(request.group_field)
+        + bool(request.json_facet)
     )
     # Post-processors need extra candidates: the rerank window must be
     # fully fetched, and every excluded doc frees a page slot.
@@ -213,6 +223,8 @@ def search(
         facets_df = facet_counts(
             spark, index.blocks, [(query_id, terms)], attrs,
             request.facets, match=matches,
+            limit=request.facet_limit, mincount=request.facet_mincount,
+            prefix=request.facet_prefix, missing=request.facet_missing,
         )
     stats_df = None
     if request.stats_field:
@@ -238,6 +250,15 @@ def search(
             spark, index.blocks, [(query_id, terms)], attrs, f1, f2,
             match=matches,
         )
+    jf_df = None
+    if request.json_facet:
+        from spcht_spark.index.facets import json_subfacets
+
+        f1, f2, l1, l2, *metric = request.json_facet
+        jf_df = json_subfacets(
+            spark, index.blocks, [(query_id, terms)], attrs, f1, f2, l1, l2,
+            metric=(metric[0] if metric else None), match=matches,
+        )
     groups_df = None
     if request.group_field:
         from spcht_spark.index.grouping import group_scored
@@ -251,4 +272,5 @@ def search(
     return SearchResponse(
         hits=hits, facets=facets_df, stats=stats_df,
         facet_query=fquery_df, pivot=pivot_df, groups=groups_df,
+        json_facets=jf_df,
     )

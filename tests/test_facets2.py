@@ -141,6 +141,54 @@ def test_json_subfacets(spark, small_corpus_pd, small_corpus, small_index):
     assert sorted(got) == sorted(want) and want
 
 
+def test_facade_json_facet_and_prefix(spark, small_corpus, small_index):
+    """The request facade threads facet.prefix/limit and the JSON
+    nested facet to the same frames the standalone calls produce — over
+    the SHARED boolean match set."""
+    from spcht_spark.index.boolean import boolean_matches
+    from spcht_spark.index.search import SearchRequest, search
+
+    store = small_corpus.select(
+        "doc_id", "content", "lang", "repo", F.length("content").alias("nc")
+    )
+    resp = search(
+        spark, small_index, store,
+        SearchRequest(
+            q="return AND if", k=5,
+            facets={"repo": F.col("repo")},
+            facet_prefix="org1/", facet_limit=3,
+            json_facet=("lang", "repo", 2, 2, "nc"),
+        ),
+    )
+    matches = boolean_matches(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        [("q0", "return AND if", 5)],
+    )
+    want_f = {
+        (r["value"], r["n"])
+        for r in facet_counts(
+            spark, small_index.blocks, [("q0", ["if", "return"])], store,
+            {"repo": F.col("repo")}, match=matches,
+            prefix="org1/", limit=3,
+        ).collect()
+    }
+    got_f = {(r["value"], r["n"]) for r in resp.facets.collect()}
+    assert got_f == want_f and got_f
+    want_j = {
+        (r["value1"], r["n1"], r["value2"], r["n2"], r["m2"])
+        for r in json_subfacets(
+            spark, small_index.blocks, [("q0", ["if", "return"])], store,
+            "lang", "repo", 2, 2, metric="nc", match=matches,
+        ).collect()
+    }
+    got_j = {
+        (r["value1"], r["n1"], r["value2"], r["n2"], r["m2"])
+        for r in resp.json_facets.collect()
+    }
+    assert got_j == want_j and got_j
+
+
 def test_json_subfacets_no_metric(spark, small_corpus, small_corpus_pd, small_index):
     out = json_subfacets(
         spark, small_index.blocks, QUERIES,

@@ -126,6 +126,21 @@ def test_cli_search_verb(spark, tmp_path):
         "--group-field", "repo", "--group-limit", "2",
     ])
     assert rc == 0
+    # post-processors + JSON facet + synonyms in one request
+    rc = cli_main([
+        "search", wd, "return", "-k", "5",
+        "--doc-store", corpus_path,
+        "--synonym", "return=if",
+        "--rerank", "def,10,2.0",
+        "--facet", "repo", "--facet-prefix", "org1/", "--facet-limit", "3",
+        "--json-facet", "lang,repo,2,2",
+    ])
+    assert rc == 0
     # malformed component specs exit 2 with a friendly message
     assert cli_main(["search", wd, "return", "--facet-query", "oops"]) == 2
     assert cli_main(["search", wd, "return", "--facet-pivot", "lang"]) == 2
+    assert cli_main(["search", wd, "return", "--rerank", "noarity"]) == 2
+    assert cli_main(["search", wd, "return", "--synonym", "oops"]) == 2
+    assert cli_main(
+        ["search", wd, "return", "--json-facet", "lang,repo,2"]
+    ) == 2
