@@ -131,6 +131,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--synonym", nargs="*", default=[],
                     metavar="TERM=ALT|ALT2",
                     help="query-time synonym entries (pre-analyzed)")
+    sp.add_argument("--stats-facet", default=None, metavar="FIELD",
+                    help="stats.facet: bucket --stats-field by this field")
+    sp.add_argument("--sort", default=None, metavar="EXPR[:asc|desc]",
+                    help='sort=: docValues field or function query, e.g. '
+                         '"div(n_chars,100):desc" (default desc)')
+    sp.add_argument("--tv", action="store_true",
+                    help="tv=true: term vectors for the page docs")
+    sp.add_argument("--collate", action="store_true",
+                    help="spellcheck.collate: corrected query + hit count")
+    sp.add_argument("--parent-field", default=None, metavar="FIELD",
+                    help="{!parent}: also rank parents (score=max) by field")
 
     for verb in ("check-descriptor", "compile-descriptor", "descriptor-fields"):
         sp = sub.add_parser(verb)
@@ -289,10 +300,28 @@ def main(argv: list[str] | None = None) -> int:
                 if owns_session:
                     spark.stop()
                 return 2
+        sort = None
+        if args.sort:
+            sspec, _, sdir = args.sort.partition(":")
+            if sdir not in ("", "asc", "desc"):
+                print("error: --sort needs EXPR[:asc|desc]", file=sys.stderr)
+                if owns_session:
+                    spark.stop()
+                return 2
+            from spcht_spark.index.funcquery import FuncParseError, parse_func
+
+            try:
+                parse_func(sspec)
+            except FuncParseError as ex:
+                print(f"error: --sort: {ex}", file=sys.stderr)
+                if owns_session:
+                    spark.stop()
+                return 2
+            sort = (sspec, sdir != "asc")
         needs_store = bool(
             args.fl or args.facet or args.stats_field or args.hl or args.fq
             or args.facet_query or args.facet_pivot or args.group_field
-            or json_facet
+            or json_facet or args.tv or sort or args.parent_field
         )
         if not needs_store:
             # field:value / field:[lo TO hi] clauses inside q evaluate
@@ -354,6 +383,11 @@ def main(argv: list[str] | None = None) -> int:
                     k: v.split("|")
                     for k, v in (s.split("=", 1) for s in args.synonym)
                 } or None,
+                stats_facet=args.stats_facet,
+                sort=sort,
+                tv=args.tv,
+                collate=args.collate,
+                parent_field=args.parent_field,
             ),
             id_col=args.id_col, content_col=args.content_col,
         )
@@ -377,6 +411,15 @@ def main(argv: list[str] | None = None) -> int:
         if resp.json_facets is not None:
             for r in resp.json_facets.orderBy("value1", "value2").collect():
                 print(json.dumps({"json_facet": r.asDict()}, default=str))
+        if resp.term_vectors is not None:
+            for r in resp.term_vectors.orderBy("doc_id", "term").collect():
+                print(json.dumps({"tv": r.asDict()}, default=str))
+        if resp.spellcheck is not None:
+            for r in resp.spellcheck.collect():
+                print(json.dumps({"spellcheck": r.asDict()}, default=str))
+        if resp.parents is not None:
+            for r in resp.parents.orderBy("rank").collect():
+                print(json.dumps({"parent": r.asDict()}, default=str))
     elif args.verb == "query":
         idx = load_index(spark, args.workdir)
         if idx.analyzer:

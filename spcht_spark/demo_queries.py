@@ -3047,6 +3047,263 @@ FROM documents
 """
 
 
+# ------------------------------------------- round-4 request surface
+
+_TV_DOC_IDS = [5, 123, 250]
+
+
+def q_index_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr TermVectorComponent (tv=true): (term, tf, df, tf-idf) for
+    each doc of a page — re-analyzed from the doc store with the
+    index's tokenizer (k docs, O(k·doclen) regardless of corpus size;
+    the page frame broadcasts into the dictionary probe)."""
+    from spcht_spark.index.vectors import term_vectors
+
+    idx = _persisted_index(spark, sf_dir)
+    return term_vectors(
+        spark, _index_corpus(spark, sf_dir), idx.dictionary,
+        _TV_DOC_IDS, tokenizer="ws",
+    ).select(
+        "doc_id", "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round("tf_idf", 6).alias("tf_idf"),
+    )
+
+
+def _term_vectors_sql() -> str:
+    ids = ", ".join(str(i) for i in _TV_DOC_IDS)
+    return f"""
+WITH {_TOK_SQL},
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf, dft.df AS df,
+       round(tf.tf::DOUBLE / dft.df, 6) AS tf_idf
+FROM tf JOIN dft USING (term) WHERE tf.doc_id IN ({ids})
+"""
+
+
+_COLLATE_QUERIES: list[tuple[str, list[str]]] = [
+    ("cl_ok", ["customer"]),          # correctly spelled: kept verbatim
+    ("cl_fix2", ["spakr", "jion"]),   # both corrected, hits = AND count
+    ("cl_none", ["zzzzqqqqzzzz"]),    # no suggestion within distance 2
+]
+
+
+def q_index_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr spellcheck.collate + collateExtendedResults: queries with
+    misspelled terms rewritten from the index's own dictionary (top
+    suggestion by distance asc, df desc, term asc) and the collation's
+    conjunctive hit count — one distributed pass for all collations."""
+    from spcht_spark.index.suggest import spellcheck_collate
+
+    idx = _persisted_index(spark, sf_dir)
+    return spellcheck_collate(
+        spark, idx.dictionary, idx.blocks, _COLLATE_QUERIES
+    )
+
+
+def _collate_sql() -> str:
+    vals = ", ".join(
+        f"('{qid}', {i + 1}, '{t}')"
+        for qid, ts in _COLLATE_QUERIES
+        for i, t in enumerate(ts)
+    )
+    return f"""
+WITH {_TOK_SQL},
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, pos, term) AS (VALUES {vals}),
+  collated AS (
+    SELECT q.query_id, q.pos,
+           CASE WHEN EXISTS (SELECT 1 FROM dft WHERE dft.term = q.term)
+                THEN q.term
+                ELSE coalesce(
+                  (SELECT d.term FROM dft d
+                   WHERE levenshtein(d.term, q.term) BETWEEN 1 AND 2
+                   ORDER BY levenshtein(d.term, q.term), d.df DESC, d.term
+                   LIMIT 1),
+                  q.term)
+           END AS term
+    FROM q),
+  coll AS (SELECT query_id, string_agg(term, ' ' ORDER BY pos) AS collation
+           FROM collated GROUP BY query_id),
+  cd AS (SELECT DISTINCT query_id, term FROM collated),
+  need AS (SELECT query_id, count(*)::BIGINT AS n FROM cd GROUP BY query_id),
+  matched AS (
+    SELECT cd.query_id, tf.doc_id, count(*)::BIGINT AS nm
+    FROM cd JOIN tf USING (term) GROUP BY cd.query_id, tf.doc_id),
+  hits AS (
+    SELECT m.query_id, count(*)::BIGINT AS hits
+    FROM matched m JOIN need USING (query_id)
+    WHERE m.nm = need.n GROUP BY m.query_id)
+SELECT coll.query_id, coll.collation,
+       coalesce(hits.hits, 0)::BIGINT AS hits
+FROM coll LEFT JOIN hits USING (query_id)
+"""
+
+
+_FUNCSORT_SRC = "div(n_chars, 100)"
+
+
+def q_index_funcsort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr function-query sort (`sort=div(n_chars,100) desc`): docs
+    matching each query ordered by an arithmetic function of their
+    attributes — the function-query string parses once into a Catalyst
+    Column (whole-stage codegen) and, for the oracle, into the
+    equivalent ANSI SQL."""
+    from spcht_spark.index.funcquery import function_sort_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return function_sort_topk(
+        spark, idx.blocks, DOC_QUERIES,
+        docs.select("doc_id", "n_chars"), _FUNCSORT_SRC, k=DOC_K,
+    )
+
+
+def _funcsort_sql() -> str:
+    from spcht_spark.index.funcquery import func_sql, parse_func
+
+    expr = func_sql(parse_func(_FUNCSORT_SRC))
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  q(query_id, term) AS (VALUES {vals}),
+  m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+  j AS (SELECT m.query_id, m.doc_id, round({expr}, 6) AS sv
+        FROM m JOIN documents d USING (doc_id)),
+  ranked AS (
+    SELECT query_id, doc_id, round(sv, 4) AS sort_v,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sv DESC, doc_id)::INTEGER AS rank
+    FROM j)
+SELECT query_id, rank, doc_id, sort_v FROM ranked WHERE rank <= {DOC_K}
+"""
+
+
+def q_index_stats_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr stats.facet: the stats component broken down per value of
+    a second field — groupBy key widens to (query, bucket), still one
+    partial-agg pass."""
+    from spcht_spark.index.facets import field_stats
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return field_stats(
+        spark, idx.blocks, DOC_QUERIES,
+        docs.select("doc_id", "n_chars", "lang"), "n_chars", by="lang",
+    )
+
+
+def _stats_facet_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  q(query_id, term) AS (VALUES {vals}),
+  m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+  j AS (SELECT m.query_id, d.lang AS bucket, d.n_chars
+        FROM m JOIN documents d USING (doc_id))
+SELECT query_id, bucket, count(*)::BIGINT AS n,
+       min(n_chars)::BIGINT AS min_v, max(n_chars)::BIGINT AS max_v,
+       sum(n_chars)::BIGINT AS sum_v,
+       (sum(n_chars)::DOUBLE / count(*)) AS avg_v
+FROM j GROUP BY query_id, bucket
+"""
+
+
+_PARENT_K = 5
+
+
+def q_index_parent_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-join parent query ({!parent}childQuery, score=max): rank
+    SOURCES by the best BM25 score among their matching docs, with the
+    matching-children count — the child→parent hop is a narrow
+    candidates⋈attrs join + map-side-combining max/count groupBy, no
+    Lucene co-location constraint."""
+    from spcht_spark.index.join import parent_topk
+    from spcht_spark.index.query import exact_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    qs = [(qid, ts, 1_000_000) for qid, ts in DOC_QUERIES]
+    scored = exact_topk(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, qs
+    ).select("query_id", "doc_id", "score")
+    out = parent_topk(
+        scored, docs.select("doc_id", "source"), "source",
+        {qid: _PARENT_K for qid, _ in DOC_QUERIES},
+    )
+    return out.select(
+        "query_id", "rank", "parent", F.round("score", 4).alias("score"),
+        "n_children",
+    )
+
+
+def _parent_join_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  per_parent AS (
+    SELECT s.query_id, d.source AS parent,
+           max(s.raw) AS raw, count(*)::BIGINT AS n_children
+    FROM scored s JOIN documents d USING (doc_id)
+    GROUP BY s.query_id, d.source),
+  ranked AS (
+    SELECT query_id, parent, round(raw, 4) AS score, n_children,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, parent)::INTEGER AS rank
+    FROM per_parent)
+SELECT query_id, rank, parent, score, n_children
+FROM ranked WHERE rank <= {_PARENT_K}
+"""
+
+
+_EXPORT_QUERIES: list[tuple[str, list[str]]] = [
+    ("ex_dup", ["dup"]),
+    ("ex_spark", ["spark"]),
+]
+
+
+def q_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /export handler: EVERY matching doc with the requested
+    stored fields, sorted by a docValues field — a pure distributed
+    range-partitioned sort, no per-query single-reducer window (the
+    bulk-egress path; ranks are the reader's job)."""
+    from spcht_spark.index.cursor import export_matches
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return export_matches(
+        spark, idx.blocks, _EXPORT_QUERIES,
+        docs.select("doc_id", "n_chars", "lang"), "n_chars", fl=["lang"],
+    )
+
+
+def _export_sql() -> str:
+    vals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in _EXPORT_QUERIES for t in ts
+    )
+    return f"""
+WITH {_TOK_SQL},
+  q(query_id, term) AS (VALUES {vals}),
+  m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term))
+SELECT m.query_id, m.doc_id, d.n_chars AS sort_value, d.lang
+FROM m JOIN documents d USING (doc_id)
+"""
+
+
 # ----------------------------------------------------------- registration
 
 _ALL_QUERIES = {
@@ -3085,6 +3342,12 @@ _ALL_QUERIES = {
     "index_join_filter": q_index_join_filter,
     "index_synonym_topk": q_index_synonym_topk,
     "index_subfacets": q_index_subfacets,
+    "index_term_vectors": q_index_term_vectors,
+    "index_collate": q_index_collate,
+    "index_funcsort": q_index_funcsort,
+    "index_stats_facet": q_index_stats_facet,
+    "index_parent_join": q_index_parent_join,
+    "index_export": q_index_export,
     "term_stats": q_term_stats,
     "doclen_hist": q_doclen_hist,
     "regex_match_filter": q_regex_match_filter,
@@ -3131,6 +3394,9 @@ _ALL_QUERIES = {
 # tests/test_driver_overflow.py running the same oracle compare. This
 # round the previously-dropped hash ops rotate INTO the driver set and
 # six pytest-parity-pinned pure-Catalyst ops rotate out to overflow.
+# Round 4 adds 6 request-surface entries (tv/collate/funcsort/
+# stats.facet/parent-join/export) to the driver set; six ops whose code
+# did not change this round rotate to overflow (still hard-gated there).
 DRIVER_GATE_CAP = 50
 OVERFLOW_QUERY_NAMES = [
     "term_stats",
@@ -3154,6 +3420,12 @@ OVERFLOW_QUERY_NAMES = [
     "rollup_agg",
     "antijoin_purge",
     "tumbling_window_counts",
+    "sessionize_events",
+    "cdc_snapshot_diff",
+    "max_age_delta",
+    "ngram_jaccard_pairs",
+    "token_stats",
+    "minhash_dedup",
 ]
 DRIVER_QUERY_NAMES = [
     n for n in _ALL_QUERIES if n not in OVERFLOW_QUERY_NAMES
@@ -3193,6 +3465,12 @@ ORACLES = {
     "index_stats_field": _stats_field_sql(),
     "index_suggest": _suggest_sql(),
     "index_search_request": _search_request_sql(),
+    "index_term_vectors": _term_vectors_sql(),
+    "index_collate": _collate_sql(),
+    "index_funcsort": _funcsort_sql(),
+    "index_stats_facet": _stats_facet_sql(),
+    "index_parent_join": _parent_join_sql(),
+    "index_export": _export_sql(),
     "index_attr_query": _attr_query_sql(),
     "index_term_boosts": _term_boosts_sql(),
     "index_explain": _explain_sql(),

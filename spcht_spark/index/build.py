@@ -86,6 +86,9 @@ class IndexTables:
     # query-time parsing MUST fold with the SAME analyzer.
     shard_span: int | None = None
     analyzer: str | None = None
+    # tokenizer spec ('arrow' | 'jvm' | 'ws') — term vectors re-analyze
+    # stored content and must tokenize exactly as the build did
+    tokenizer: str | None = None
 
 
 def apply_analyzer(corpus: DataFrame, analyzer: str | None) -> DataFrame:
@@ -232,5 +235,5 @@ def build_index(
     blocks = build_blocks(tokens, float(srow["avgdl"]), shard_span=shard_span)
     return IndexTables(
         tokens, doclens, dictionary, stats, blocks,
-        shard_span=shard_span, analyzer=analyzer,
+        shard_span=shard_span, analyzer=analyzer, tokenizer=tokenizer,
     )

@@ -140,3 +140,44 @@ def paged_scan(
             if seen_per_q.get(qid, 0) < page_size:
                 exhausted.add(qid)  # cursorMark repeats → stop (Solr rule)
     return spark.createDataFrame(out_rows, schema=schema)
+
+
+def export_matches(
+    spark: SparkSession,
+    blocks: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    attrs: DataFrame,
+    sort_col: str,
+    fl: list[str] | None = None,
+    ascending: bool = True,
+) -> DataFrame:
+    """Solr /export handler: EVERY doc matching each query, sorted by
+    a docValues field — the bulk-egress surface (no rows/start window,
+    no score, used to stream whole result sets out of a collection).
+
+    The Spark-first shape is just a distributed sort: matching docs
+    (term-pruned block scan → distinct) semi-structured with the
+    requested stored fields and ``orderBy`` — Catalyst range-partitions
+    on (query_id, sort, doc_id) after sampling, so a 10^9-row export
+    spreads over the cluster with NO per-query single-reducer window
+    (ranks are the reader's job; Solr's /export emits a sorted stream,
+    not positions). Ties are totalized by doc_id, making the stream
+    deterministic for a given query."""
+    fields = [f for f in (fl or []) if f != sort_col]
+    match = matching_docs(spark, blocks, queries)
+    j = match.join(
+        attrs.select(
+            "doc_id",
+            F.col(sort_col).alias("sort_value"),
+            *fields,
+        ),
+        "doc_id",
+    )
+    order = [
+        F.asc("query_id"),
+        F.asc("sort_value") if ascending else F.desc("sort_value"),
+        F.asc("doc_id"),
+    ]
+    return j.orderBy(*order).select(
+        "query_id", "doc_id", "sort_value", *fields
+    )

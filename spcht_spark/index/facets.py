@@ -279,20 +279,32 @@ def field_stats(
     field: str,
     doc_filter: DataFrame | None = None,
     match: DataFrame | None = None,
+    by: str | None = None,
 ) -> DataFrame:
     """Solr stats component: count/min/max/sum/mean of a numeric field
     over ALL docs matching each query — same matching-doc machinery as
     faceting (``match`` overrides it like in :func:`facet_counts`),
     one partial-agg groupBy. Returns (query_id, n, min_v, max_v,
-    sum_v, avg_v)."""
+    sum_v, avg_v).
+
+    ``by`` — Solr ``stats.facet``: break the stats down per value of a
+    second attribute field; the output gains a ``bucket`` column and
+    the groupBy key widens to (query_id, bucket) — still one
+    partial-agg pass, and the wider key only *improves* balance (the
+    per-query groups split across buckets)."""
     if match is None:
         match = matching_docs(spark, blocks, queries)
     else:
         match = match.select("query_id", "doc_id")
     if doc_filter is not None:
         match = match.join(doc_filter.select("doc_id"), "doc_id", "semi")
-    j = match.join(attrs.select("doc_id", field), "doc_id")
-    return j.groupBy("query_id").agg(
+    cols = [field] if by in (None, field) else [field, by]
+    j = match.join(attrs.select("doc_id", *cols), "doc_id")
+    keys = ["query_id"]
+    if by is not None:
+        j = j.withColumn("bucket", F.col(by).cast("string"))
+        keys.append("bucket")
+    return j.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
         F.min(field).cast("long").alias("min_v"),
         F.max(field).cast("long").alias("max_v"),

@@ -21,12 +21,12 @@ shard-span bitmap path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spcht_spark.index.boolean import ast_predicate, parse_filter_query
 
-__all__ = ["join_docs"]
+__all__ = ["join_docs", "parent_topk"]
 
 
 def join_docs(
@@ -56,4 +56,61 @@ def join_docs(
     # distinct, no extra shuffle.
     return to.join(values, to[to_col] == values._jv, "leftsemi").select(
         F.col(id_col).alias("doc_id")
+    )
+
+
+def parent_topk(
+    scored_children: DataFrame,
+    attrs: DataFrame,
+    parent_col: str,
+    ks: dict[str, int],
+) -> DataFrame:
+    """Block-join parent query — Lucene ToParentBlockJoinQuery /
+    Solr ``{!parent which=...}childQuery`` with ``score=max``: rank
+    PARENT entities by the best score among their children that match
+    the child query, carrying the matching-children count.
+
+    Lucene requires parents and children co-located in one index block
+    and walks a parent bitset; that layout exists to make the
+    child→parent hop cheap on one machine.  The Spark-first equivalent
+    keeps the child→parent mapping as a doc attribute (``parent_col``
+    — e.g. repo for files, crawl host for pages) and makes the hop a
+    narrow candidates⋈attrs join + partial-agg groupBy: max/count
+    combine map-side, so a parent with a billion matching children
+    ships one row per map task, not a billion (no Lucene-style
+    co-location constraint on the layout at all).
+
+    ``scored_children``: (query_id, doc_id, score) from any ranked
+    path (exact/WAND/boolean — composes with the full q language).
+    Returns (query_id, rank, parent, score, n_children) with the
+    engine-wide determinism contract (round(score,6) desc, parent asc).
+    """
+    j = scored_children.select("query_id", "doc_id", "score").join(
+        attrs.select(
+            "doc_id", F.col(parent_col).cast("string").alias("parent")
+        ),
+        "doc_id",
+    )
+    per_parent = j.groupBy("query_id", "parent").agg(
+        F.max("score").alias("score"),
+        F.count(F.lit(1)).alias("n_children"),
+    )
+    k_map = F.create_map(
+        *[x for q, k in sorted(ks.items()) for x in (F.lit(q), F.lit(k))]
+    )
+    order = (F.desc(F.round("score", 6)), F.asc("parent"))
+    w_salt = Window.partitionBy("query_id", "salt").orderBy(*order)
+    pre = (
+        per_parent.withColumn(
+            "salt", F.pmod(F.xxhash64("parent"), F.lit(64))
+        )
+        .withColumn("r1", F.row_number().over(w_salt))
+        .filter(F.col("r1") <= k_map[F.col("query_id")])
+        .drop("salt", "r1")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_map[F.col("query_id")])
+        .select("query_id", "rank", "parent", "score", "n_children")
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spcht_spark.index.boolean import (
@@ -78,6 +78,18 @@ class SearchRequest:
     elevate_ids: list | None = None          # QueryElevationComponent: pinned
                                              # doc ids, in elevation order
     exclude_ids: list | None = None          # elevation excludes
+    stats_facet: str | None = None           # stats.facet: bucket the stats
+                                             # component by a second field
+    sort: tuple[str, bool] | None = None     # sort=<field|func()> (src, desc):
+                                             # page ordered by a docValues
+                                             # field / function query instead
+                                             # of relevance; ties doc_id asc
+    tv: bool = False                         # tv=true: TermVectorComponent
+                                             # for the page's docs
+    collate: bool = False                    # spellcheck.collate +
+                                             # collateExtendedResults
+    parent_field: str | None = None          # {!parent}: also rank parent
+                                             # entities (score=max) by field
 
 
 @dataclass
@@ -91,6 +103,10 @@ class SearchResponse:
                                              #  value2, n2[, m2])
     groups: DataFrame | None = None          # (query_id, grp_rank, grp,
                                              #  grp_n, doc_rank, doc_id, score)
+    term_vectors: DataFrame | None = None    # (doc_id, term, tf, df, tf_idf)
+    spellcheck: DataFrame | None = None      # (query_id, collation, hits)
+    parents: DataFrame | None = None         # (query_id, rank, parent,
+                                             #  score, n_children)
 
 
 def search(
@@ -113,10 +129,9 @@ def search(
     decoding the full matching set; components that genuinely need the
     whole DocSet (facets, stats) keep the full match pass and share it
     (one parsed query, one match pass — Solr's shared DocSet)."""
+    raw_ast = parse_query(request.q, index.analyzer)
     ast = expand_fuzzy_ast(
-        expand_synonyms_ast(
-            parse_query(request.q, index.analyzer), request.synonyms or {}
-        ),
+        expand_synonyms_ast(raw_ast, request.synonyms or {}),
         index.dictionary,
     )
     terms = sorted(ast_terms(ast))
@@ -140,6 +155,8 @@ def search(
         + bool(request.facet_pivot)
         + bool(request.group_field)
         + bool(request.json_facet)
+        + bool(request.sort)          # sort needs the full admissible set
+        + bool(request.parent_field)  # so does the parent roll-up
     )
     # Post-processors need extra candidates: the rerank window must be
     # fully fetched, and every excluded doc frees a page slot.
@@ -175,7 +192,10 @@ def search(
         )
         # one match pass feeds hits + facets + stats (Solr's shared DocSet)
         matches = matches.localCheckpoint(eager=False)
-        hits = topk(matches, {query_id: n_fetch})
+        if request.sort:
+            hits = _sorted_page(matches, attrs, request.sort, n_fetch)
+        else:
+            hits = topk(matches, {query_id: n_fetch})
     if request.rerank:
         from spcht_spark.index.rerank import rerank_topk
 
@@ -230,7 +250,7 @@ def search(
     if request.stats_field:
         stats_df = field_stats(
             spark, index.blocks, [(query_id, terms)], attrs,
-            request.stats_field, match=matches,
+            request.stats_field, match=matches, by=request.stats_facet,
         )
     fquery_df = None
     if request.facet_queries:
@@ -259,6 +279,40 @@ def search(
             spark, index.blocks, [(query_id, terms)], attrs, f1, f2, l1, l2,
             metric=(metric[0] if metric else None), match=matches,
         )
+    tv_df = None
+    if request.tv:
+        from spcht_spark.index.vectors import term_vectors as _term_vectors
+
+        # page-bounded collect: k·|queries| ids — the Solr-client
+        # contract (same bound as cursor paging / stored-field fetch)
+        ids = [r["doc_id"] for r in hits.select("doc_id").collect()]
+        store = doc_store
+        if id_col != "doc_id":
+            store = store.withColumnRenamed(id_col, "doc_id")
+        if content_col != "content":
+            store = store.withColumnRenamed(content_col, "content")
+        tv_df = _term_vectors(
+            spark, store, index.dictionary, ids,
+            tokenizer=getattr(index, "tokenizer", None) or "arrow",
+            analyzer=index.analyzer,
+        )
+    collate_df = None
+    if request.collate:
+        from spcht_spark.index.suggest import spellcheck_collate
+
+        # collation corrects the ORIGINAL query's terms (before fuzzy/
+        # synonym expansion), Solr spellcheck.q semantics
+        collate_df = spellcheck_collate(
+            spark, index.dictionary, index.blocks,
+            [(query_id, sorted(ast_terms(raw_ast)))],
+        )
+    parents_df = None
+    if request.parent_field:
+        from spcht_spark.index.join import parent_topk
+
+        parents_df = parent_topk(
+            matches, attrs, request.parent_field, {query_id: request.k}
+        )
     groups_df = None
     if request.group_field:
         from spcht_spark.index.grouping import group_scored
@@ -272,5 +326,43 @@ def search(
     return SearchResponse(
         hits=hits, facets=facets_df, stats=stats_df,
         facet_query=fquery_df, pivot=pivot_df, groups=groups_df,
-        json_facets=jf_df,
+        json_facets=jf_df, term_vectors=tv_df, spellcheck=collate_df,
+        parents=parents_df,
+    )
+
+
+def _sorted_page(
+    matches: DataFrame,
+    attrs: DataFrame,
+    sort: tuple[str, bool],
+    n_fetch: int,
+) -> DataFrame:
+    """Solr ``sort=<field|func()> asc|desc`` over the request's
+    admissible set: the page is ordered by a docValues field or
+    function query instead of relevance (score stays in the row, Solr
+    returns it when fl asks). Ties totalize by doc_id asc; the rank
+    window is the engine-wide two-stage salted shape."""
+    from spcht_spark.index.funcquery import compile_func
+
+    src, descending = sort
+    col, fields = compile_func(src)
+    j = matches.select("query_id", "doc_id", "score").join(
+        attrs.select("doc_id", *fields), "doc_id"
+    ).select(
+        "query_id", "doc_id", "score", F.round(col, 6).alias("_sort_v")
+    )
+    direction = F.desc("_sort_v") if descending else F.asc("_sort_v")
+    order = (direction, F.asc("doc_id"))
+    w_salt = Window.partitionBy("query_id", "salt").orderBy(*order)
+    pre = (
+        j.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+        .withColumn("r1", F.row_number().over(w_salt))
+        .filter(F.col("r1") <= n_fetch)
+        .drop("salt", "r1")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_fetch)
+        .select("query_id", "rank", "doc_id", "score")
     )

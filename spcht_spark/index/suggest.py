@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spcht_spark.index.query import decode_blocks
+
 
 def suggest(
     spark: SparkSession,
@@ -52,5 +54,77 @@ def suggest(
         .filter(F.col("rank") <= top_n)
         .select(
             "qterm", "rank", F.col("term").alias("suggestion"), "distance", "df"
+        )
+    )
+
+
+def spellcheck_collate(
+    spark: SparkSession,
+    dictionary: DataFrame,
+    blocks: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    max_distance: int = 2,
+) -> DataFrame:
+    """Solr ``spellcheck.collate`` (+ ``collateExtendedResults``):
+    rewrite each query replacing terms ABSENT from the dictionary with
+    their top suggestion, and report how many docs the collation would
+    return as a conjunctive (MUST) query — Solr verifies collations
+    with ``maxCollationTries`` internal queries; here one distributed
+    pass counts every collation's hits at once.
+
+    Returns (query_id, collation, hits). Terms present in the
+    dictionary are kept verbatim (Solr only corrects misspelled terms);
+    a missing term with no suggestion within ``max_distance`` stays and
+    yields 0 hits, like a collation Solr would discard.
+
+    Driver-side work is bounded by |query terms| (the known-term lookup
+    and the top-1 suggestion per missing term); hit counting decodes
+    only the collated terms' pruned blocks and partial-aggs per
+    (query, doc) — no full-corpus structure ever reaches the driver."""
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    known = {
+        r["term"]
+        for r in dictionary.filter(F.col("term").isin(all_terms))
+        .select("term")
+        .collect()
+    }
+    missing = sorted(set(all_terms) - known)
+    best: dict[str, str] = {}
+    if missing:
+        top = suggest(
+            spark, dictionary, missing, max_distance=max_distance, top_n=1
+        ).collect()
+        best = {r["qterm"]: r["suggestion"] for r in top}
+    coll = {qid: [best.get(t, t) for t in ts] for qid, ts in queries}
+    base = spark.createDataFrame(
+        [(qid, " ".join(coll[qid])) for qid, _ in queries],
+        ["query_id", "collation"],
+    )
+    qrows = [
+        (qid, t) for qid, ts in coll.items() for t in sorted(set(ts))
+    ]
+    n_terms = {qid: len(set(ts)) for qid, ts in coll.items()}
+    query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
+    need = sorted({t for _, t in qrows})
+    postings = decode_blocks(blocks.filter(F.col("term").isin(need))).select(
+        "term", "doc_id"
+    )
+    nt_map = F.create_map(
+        *[x for q, n in sorted(n_terms.items()) for x in (F.lit(q), F.lit(n))]
+    )
+    hits = (
+        postings.join(F.broadcast(query_terms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("nm"))  # (doc, term) unique in postings
+        .filter(F.col("nm") == nt_map[F.col("query_id")])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "collation",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
         )
     )

@@ -230,6 +230,7 @@ def update_index(
         blocks=new_blocks,
         shard_span=shard_span,
         analyzer=idx.analyzer,
+        tokenizer=idx.tokenizer,
     )
 
 

@@ -128,6 +128,7 @@ def run_index_order(spark: SparkSession, order: WorkOrder) -> IndexTables:
         blocks=outs["blocks"],
         shard_span=order.params.get("shard_span"),
         analyzer=order.params.get("analyzer"),
+        tokenizer=order.params.get("tokenizer"),
     )
 
 
@@ -153,4 +154,5 @@ def load_index(spark: SparkSession, workdir: str) -> IndexTables:
         blocks=rd("blocks"),
         shard_span=params.get("shard_span"),
         analyzer=params.get("analyzer"),
+        tokenizer=params.get("tokenizer"),
     )
