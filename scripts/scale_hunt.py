@@ -1,0 +1,67 @@
+"""Hunt a kernel-quiet scaling pair (BENCH.md round-4 follow-up).
+
+This VM's memcg page-fault storms poison multi-core legs in episodes
+that can outlast bench_scaling.py's in-run retries (round-4: nine
+consecutive 4-core legs at sys_frac 0.18-0.35 over ~100 min while
+every 1-core leg stayed clean). This hunter spaces attempts across a
+longer wall-clock window: each attempt runs ONE pinned 4-core worker
+(the storm-sensitive leg); if it comes back quiet (sys-CPU share <=
+QUIET of its core-seconds) it immediately runs the 1-core leg in the
+same phase and emits the pair + efficiency, then exits. Contaminated
+attempts are printed and retried after SLEEP_S of idle box.
+
+Usage: python scripts/scale_hunt.py  (env: SPCHT_SCALE_CORPUS/DOCS,
+SPCHT_HUNT_ATTEMPTS, SPCHT_HUNT_SLEEP_S)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+QUIET = float(os.environ.get("SPCHT_SCALE_QUIET_FRAC", "0.15"))
+ATTEMPTS = int(os.environ.get("SPCHT_HUNT_ATTEMPTS", "12"))
+SLEEP_S = int(os.environ.get("SPCHT_HUNT_SLEEP_S", "420"))
+
+
+def run_leg(cores: int) -> dict:
+    env = dict(os.environ, SPCHT_SPARK_DRIVER_MEM=f"{2 * cores}g")
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cores - 1}", sys.executable,
+         os.path.join(ROOT, "bench_scaling.py"), "--worker", str(cores)],
+        capture_output=True, text=True, check=True, env=env,
+    )
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    r["sys_frac"] = round(r["sys_cpu_s"] / (r["cores"] * r["seconds"]), 3)
+    return r
+
+
+def main() -> int:
+    n_docs = int(os.environ.get("SPCHT_SCALE_DOCS", "240000"))
+    for attempt in range(1, ATTEMPTS + 1):
+        hi = run_leg(4)
+        print(f"attempt {attempt}: hi {hi['seconds']}s sys_frac "
+              f"{hi['sys_frac']}", flush=True)
+        if hi["sys_frac"] <= QUIET:
+            lo = run_leg(1)
+            eff = hi["files_per_sec"] / (4 * lo["files_per_sec"])
+            print(json.dumps({
+                "metric": "index_build_scaling_efficiency_clean_pair",
+                "value": round(eff, 3), "unit": "ratio",
+                "lo": lo, "hi": hi, "target": 0.8, "pass": eff >= 0.8,
+                "corpus_docs": n_docs, "quiet_sys_frac_gate": QUIET,
+                "attempts_to_quiet_hi": attempt,
+            }), flush=True)
+            return 0
+        time.sleep(SLEEP_S)
+    print(json.dumps({"metric": "clean_pair_not_found",
+                      "attempts": ATTEMPTS}), flush=True)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -113,6 +113,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--group-limit", type=int, default=1)
     sp.add_argument("--stats-field", default=None)
     sp.add_argument("--hl", action="store_true")
+    sp.add_argument("--hl-snippets", type=int, default=1,
+                    help="hl.snippets: fragments per hit (>1 = multi)")
     sp.add_argument("--facet-prefix", default=None,
                     help="facet.prefix: only buckets starting with this")
     sp.add_argument("--facet-missing", action="store_true",
@@ -372,6 +374,7 @@ def main(argv: list[str] | None = None) -> int:
                 group_limit=args.group_limit,
                 stats_field=args.stats_field,
                 hl=args.hl,
+                hl_snippets=args.hl_snippets,
                 facet_prefix=args.facet_prefix,
                 facet_missing=args.facet_missing,
                 facet_limit=args.facet_limit,

@@ -3049,6 +3049,93 @@ FROM documents
 
 # ------------------------------------------- round-4 request surface
 
+_HL_SNIPPETS = 2
+
+
+def q_index_hl_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-fragment highlighting (Solr ``hl.snippets=N``): up to N
+    fragments per hit, the i-th anchored at the first occurrence of the
+    i-th distinct matching term (anchors by position) — Lucene's
+    distinct-term fragment heuristic in SQL-portable form. Fragments
+    explode to (hit, frag) rows; docs containing no query term drop,
+    like Solr omitting the highlight entry."""
+    from spcht_spark.index.highlight import highlight_fragments
+    from spcht_spark.index.query import exact_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    qs = [(qid, ts, DOC_K + 5) for qid, ts in DOC_QUERIES]
+    hits = _rerank_rounded(
+        exact_topk(spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, qs)
+    ).drop("score")
+    docs = _t(spark, sf_dir, "documents")
+    out = highlight_fragments(
+        hits, docs, DOC_QUERIES, window=_HL_WINDOW,
+        max_snippets=_HL_SNIPPETS, content_col="text",
+    )
+    return out.select(
+        "query_id", "rank", "doc_id",
+        F.posexplode("snippets").alias("frag0", "snippet"),
+    ).select(
+        "query_id", "rank", "doc_id",
+        (F.col("frag0") + 1).cast("int").alias("frag"), "snippet",
+    )
+
+
+def _hl_snippets_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    w = _HL_WINDOW
+    branches = []
+    for i, (qid, ts) in enumerate(DOC_QUERIES):
+        terms = sorted(set(ts))
+        termvals = ", ".join(f"('{t}')" for t in terms)
+        termlits = ", ".join(f"'{t}'" for t in terms)
+        branches.append(f"""
+  a{i} AS (
+    SELECT r.query_id, r.rank, r.doc_id, tks.tk, t.t AS term,
+           nullif(list_position(tks.tk, t.t), 0) AS p
+    FROM ranked r JOIN tks ON r.doc_id = tks.doc_id
+         CROSS JOIN (VALUES {termvals}) AS t(t)
+    WHERE r.query_id = '{qid}' AND r.rank <= {DOC_K}),
+  f{i} AS (
+    SELECT query_id, rank, doc_id, tk, p,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY p, term)::INTEGER AS frag
+    FROM a{i} WHERE p IS NOT NULL),
+  s{i} AS (
+    SELECT query_id, rank, doc_id, frag,
+           array_to_string(list_transform(
+             tk[greatest(1, p - {w}):greatest(1, p - {w}) + {2 * w}],
+             x -> CASE WHEN x IN ({termlits})
+                       THEN '<em>' || x || '</em>' ELSE x END), ' ') AS snippet
+    FROM f{i} WHERE frag <= {_HL_SNIPPETS})""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(len(DOC_QUERIES))
+    )
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  ranked AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM scored),
+  tks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  {",".join(branches)}
+{union}
+"""
+
 _TV_DOC_IDS = [5, 123, 250]
 
 
@@ -3343,6 +3430,7 @@ _ALL_QUERIES = {
     "index_synonym_topk": q_index_synonym_topk,
     "index_subfacets": q_index_subfacets,
     "index_term_vectors": q_index_term_vectors,
+    "index_hl_snippets": q_index_hl_snippets,
     "index_collate": q_index_collate,
     "index_funcsort": q_index_funcsort,
     "index_stats_facet": q_index_stats_facet,
@@ -3426,6 +3514,7 @@ OVERFLOW_QUERY_NAMES = [
     "ngram_jaccard_pairs",
     "token_stats",
     "minhash_dedup",
+    "doc_fingerprint",
 ]
 DRIVER_QUERY_NAMES = [
     n for n in _ALL_QUERIES if n not in OVERFLOW_QUERY_NAMES
@@ -3466,6 +3555,7 @@ ORACLES = {
     "index_suggest": _suggest_sql(),
     "index_search_request": _search_request_sql(),
     "index_term_vectors": _term_vectors_sql(),
+    "index_hl_snippets": _hl_snippets_sql(),
     "index_collate": _collate_sql(),
     "index_funcsort": _funcsort_sql(),
     "index_stats_facet": _stats_facet_sql(),

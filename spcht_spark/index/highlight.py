@@ -70,3 +70,74 @@ def highlight(
     # window at 1 — gate explicitly: no occurrence → NULL snippet.
     snippet = F.when(pos.isNotNull(), F.array_join(emph, " "))
     return j.withColumn("snippet", snippet).drop("_toks")
+
+
+def highlight_fragments(
+    hits: DataFrame,
+    doc_store: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    window: int = 4,
+    max_snippets: int = 3,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Solr ``hl.snippets=N``: up to N fragments per hit instead of
+    one — + ``snippets array<string>``.
+
+    Fragment selection follows Lucene's distinct-term heuristic in an
+    SQL-portable form: the i-th fragment anchors at the FIRST
+    occurrence of the i-th distinct matching query term, anchors
+    ordered by position (so fragments cover different terms rather
+    than re-showing the hottest one). Every query term inside any
+    fragment is ``<em>``-wrapped. A hit containing no query term gets
+    an empty array, like Solr returning no highlight.
+
+    Same cost shape as :func:`highlight`: k·|queries| result rows
+    broadcast against the doc store, all fragment work in Catalyst
+    higher-order functions over the token split — ``array_position``
+    per query term (|terms| probes, not |tokens| passes), never a
+    corpus scan, no Python."""
+    terms_map = F.create_map(
+        *[
+            x
+            for qid, ts in sorted(queries)
+            for x in (F.lit(qid), F.array(*[F.lit(t) for t in sorted(set(ts))]))
+        ]
+    )
+    docs = doc_store.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(content_col), " ").alias("_toks"),
+    )
+    j = F.broadcast(hits).join(docs, "doc_id")
+    qterms: Column = terms_map[F.col("query_id")]
+    toks = F.col("_toks")
+    # first occurrence of each query term (0 = absent), ordered by
+    # position, capped at max_snippets anchors
+    anchors = F.slice(
+        F.array_sort(
+            F.filter(
+                F.transform(qterms, lambda t: F.array_position(toks, t)),
+                lambda p: p > 0,
+            )
+        ),
+        1,
+        max_snippets,
+    )
+    frags = F.transform(
+        anchors,
+        lambda a: F.array_join(
+            F.transform(
+                F.slice(
+                    toks,
+                    F.greatest(F.lit(1), a - window).cast("int"),
+                    2 * window + 1,
+                ),
+                lambda t: F.when(
+                    F.array_contains(qterms, t),
+                    F.concat(F.lit("<em>"), t, F.lit("</em>")),
+                ).otherwise(t),
+            ),
+            " ",
+        ),
+    )
+    return j.withColumn("snippets", frags).drop("_toks")

@@ -71,6 +71,9 @@ class SearchRequest:
     stats_field: str | None = None           # stats.field
     hl: bool = False                         # highlight
     hl_window: int = 4
+    hl_snippets: int = 1                     # hl.snippets=N: >1 switches to
+                                             # multi-fragment highlighting
+                                             # (snippets array column)
     synonyms: dict[str, list[str]] | None = None  # query-time synonym map
                                              # (pre-analyzed; SynonymGraphFilter)
     rerank: tuple[str, int, float] | None = None  # rq={!rerank}: (reRankQuery,
@@ -232,11 +235,22 @@ def search(
         # Snippets anchor on POSITIVE clauses only — Solr never
         # <em>-wraps a MUST_NOT term that happens to appear in a doc
         # matched via another branch (ADVICE r3).
-        hits = highlight(
-            hits, doc_store, [(query_id, sorted(positive_terms(ast)))],
-            window=request.hl_window,
-            id_col=id_col, content_col=content_col,
-        )
+        hl_queries = [(query_id, sorted(positive_terms(ast)))]
+        if request.hl_snippets > 1:
+            from spcht_spark.index.highlight import highlight_fragments
+
+            hits = highlight_fragments(
+                hits, doc_store, hl_queries,
+                window=request.hl_window,
+                max_snippets=request.hl_snippets,
+                id_col=id_col, content_col=content_col,
+            )
+        else:
+            hits = highlight(
+                hits, doc_store, hl_queries,
+                window=request.hl_window,
+                id_col=id_col, content_col=content_col,
+            )
 
     facets_df = None
     if request.facets:

@@ -286,3 +286,58 @@ def test_facade_round4_components(spark, small_index, small_corpus):
     parents = resp.parents.toPandas()
     assert (parents["n_children"] > 0).all()
     assert parents["rank"].tolist() == list(range(1, len(parents) + 1))
+
+
+# ------------------------------------------- multi-fragment highlighting
+
+def test_highlight_fragments_vs_pandas(spark, small_index, small_corpus):
+    from spcht_spark.index.highlight import highlight_fragments
+    from spcht_spark.index.query import exact_topk
+
+    queries = [("h_two", ["return", "import"]), ("h_one", ["def"])]
+    qs = [(qid, ts, 6) for qid, ts in queries]
+    hits = exact_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats, qs,
+    )
+    out = highlight_fragments(
+        hits, small_corpus, queries, window=3, max_snippets=2
+    ).toPandas()
+    content = small_corpus.select("doc_id", "content").toPandas().set_index(
+        "doc_id"
+    )["content"]
+    qmap = dict(queries)
+    for _, row in out.iterrows():
+        toks = content.loc[row["doc_id"]].split(" ")
+        terms = sorted(set(qmap[row["query_id"]]))
+        # expected anchors: first occurrence of each present term, by pos
+        pos = sorted(
+            toks.index(t) + 1 for t in terms if t in toks
+        )[:2]
+        want = []
+        for p in pos:
+            lo = max(1, p - 3)
+            frag = toks[lo - 1: lo - 1 + 7]
+            want.append(
+                " ".join(
+                    f"<em>{t}</em>" if t in terms else t for t in frag
+                )
+            )
+        assert list(row["snippets"]) == want
+    # every hit got a row (exact_topk docs contain >= 1 term)
+    assert len(out) == hits.count()
+
+
+def test_facade_hl_snippets(spark, small_index, small_corpus):
+    from spcht_spark.index.search import SearchRequest, search
+
+    resp = search(
+        spark, small_index, small_corpus,
+        SearchRequest(q="return OR import", k=4, hl=True, hl_snippets=2),
+    )
+    hits = resp.hits.toPandas()
+    assert "snippets" in hits.columns
+    assert (hits["snippets"].str.len() >= 1).all()
+    assert hits["snippets"].apply(
+        lambda s: any("<em>" in x for x in s)
+    ).all()
