@@ -3391,6 +3391,63 @@ FROM m JOIN documents d USING (doc_id)
 """
 
 
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+_SAMPLE_SALT = "r4"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-source corpus sampling (training-data op):
+    content-keyed md5 hash draw < per-stratum rate — independent of
+    partitioning/cluster size/execution order, one scan, no RNG state.
+    The md5 draw has a bit-identical DuckDB twin, so the sample is
+    value-checked row-for-row, not just by count."""
+    from spcht_spark.functions.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "lang"), "doc_id", "lang",
+        _SAMPLE_RATES, salt=_SAMPLE_SALT, default_rate=0.1,
+    )
+
+
+def _stratified_sample_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE (('0x' || substr(md5(doc_id::VARCHAR || '{_SAMPLE_SALT}'), 1, 8))::BIGINT
+       / 4294967296.0)
+      < (CASE {whens} ELSE 0.1 END)
+"""
+
+
+_QUANTILE_QS = [0.25, 0.5, 0.9]
+
+
+def q_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source doc-length quantiles (curation gates on
+    per-source length distributions): Spark's exact interpolated
+    ``percentile`` == SQL ``quantile_cont``, one partial-agg shuffle
+    on the stratum key."""
+    from spcht_spark.functions.sampling import stratum_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratum_quantiles(docs, "lang", "n_chars", _QUANTILE_QS)
+    return out.select("stratum", "q", F.round("v", 6).alias("v"))
+
+
+def _doclen_quantiles_sql() -> str:
+    # quantile_cont requires a CONSTANT q — one aggregate per q, unioned
+    parts = [
+        f"""SELECT lang AS stratum, {q} AS q,
+       round(quantile_cont(n_chars, {q}), 6) AS v
+FROM documents GROUP BY lang"""
+        for q in _QUANTILE_QS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 # ----------------------------------------------------------- registration
 
 _ALL_QUERIES = {
@@ -3472,6 +3529,8 @@ _ALL_QUERIES = {
     "embedding_ann_ivf": q_embedding_ann_ivf,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_features": q_multimodal_features,
+    "stratified_sample": q_stratified_sample,
+    "doclen_quantiles_strata": q_doclen_quantiles,
 }
 
 # The driver's correctness gate checks AT MOST 50 queries, in registry
@@ -3515,6 +3574,8 @@ OVERFLOW_QUERY_NAMES = [
     "token_stats",
     "minhash_dedup",
     "doc_fingerprint",
+    "simhash",
+    "embedding_ann_lsh",
 ]
 DRIVER_QUERY_NAMES = [
     n for n in _ALL_QUERIES if n not in OVERFLOW_QUERY_NAMES
@@ -3556,6 +3617,8 @@ ORACLES = {
     "index_search_request": _search_request_sql(),
     "index_term_vectors": _term_vectors_sql(),
     "index_hl_snippets": _hl_snippets_sql(),
+    "stratified_sample": _stratified_sample_sql(),
+    "doclen_quantiles_strata": _doclen_quantiles_sql(),
     "index_collate": _collate_sql(),
     "index_funcsort": _funcsort_sql(),
     "index_stats_facet": _stats_facet_sql(),

@@ -341,3 +341,63 @@ def test_facade_hl_snippets(spark, small_index, small_corpus):
     assert hits["snippets"].apply(
         lambda s: any("<em>" in x for x in s)
     ).all()
+
+
+# ------------------------------------------------- reproducible sampling
+
+def test_stratified_sample_deterministic(spark, small_corpus):
+    from spcht_spark.functions.sampling import hash_draw, stratified_sample
+
+    rates = {"python": 0.5, "java": 0.2}
+    out1 = stratified_sample(
+        small_corpus.select("doc_id", "lang"), "doc_id", "lang",
+        rates, salt="s1", default_rate=0.0,
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    out2 = stratified_sample(
+        small_corpus.select("doc_id", "lang"), "doc_id", "lang",
+        rates, salt="s1", default_rate=0.0,
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out1, out2)  # same salt -> same sample
+    # python oracle: identical md5 draw
+    import hashlib
+
+    base = small_corpus.select("doc_id", "lang").toPandas()
+    draws = base["doc_id"].map(
+        lambda d: int(hashlib.md5(f"{d}s1".encode()).hexdigest()[:8], 16)
+        / float(1 << 32)
+    )
+    keep = draws < base["lang"].map(rates).fillna(0.0)
+    assert sorted(out1["doc_id"]) == sorted(base[keep]["doc_id"])
+    # a different salt draws a different sample (overwhelmingly likely)
+    out3 = stratified_sample(
+        small_corpus.select("doc_id", "lang"), "doc_id", "lang",
+        rates, salt="s2", default_rate=0.0,
+    ).toPandas()
+    assert set(out3["doc_id"]) != set(out1["doc_id"])
+    # engine draw column == python md5 draw
+    got = (
+        small_corpus.select(
+            "doc_id", hash_draw(F.col("doc_id"), "s1").alias("d")
+        )
+        .toPandas().set_index("doc_id")["d"]
+    )
+    assert got.loc[base["doc_id"]].values == pytest.approx(draws.values)
+
+
+def test_stratum_quantiles_vs_pandas(spark, small_corpus):
+    from spcht_spark.functions.sampling import stratum_quantiles
+
+    docs = small_corpus.select(
+        "doc_id", "lang", F.length("content").alias("n_chars")
+    )
+    out = stratum_quantiles(docs, "lang", "n_chars", [0.25, 0.5, 0.9])
+    got = out.toPandas().sort_values(["stratum", "q"]).reset_index(drop=True)
+    pdf = docs.toPandas()
+    rows = []
+    for lang, g in pdf.groupby("lang"):
+        for q in [0.25, 0.5, 0.9]:
+            rows.append((str(lang), q, g["n_chars"].quantile(q)))
+    want = pd.DataFrame(rows, columns=["stratum", "q", "v"]).sort_values(
+        ["stratum", "q"]
+    ).reset_index(drop=True)
+    assert got["v"].values == pytest.approx(want["v"].values)
