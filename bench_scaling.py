@@ -66,10 +66,13 @@ def worker(cores: int) -> None:
     spark.read.parquet(CORPUS_PATH).count()  # touch input pages/footers
 
     workdir = tempfile.mkdtemp(prefix=f"spcht_scale_{cores}_")
+    # No blocks_partitions override: the applyInPandas output already has
+    # shuffle_partitions (= cores*2) partitions, so the former
+    # repartition(cores*2) was a full round-robin shuffle of the largest
+    # binary table that changed nothing but file order (round-5 fix).
     order = index_order(
         workdir, f"scale{cores}",
         lambda s: s.read.parquet(CORPUS_PATH),
-        blocks_partitions=cores * 2,
         verify_sha256=False,  # uniform stage cost; invariant covered in pytest
     )
 

@@ -175,7 +175,9 @@ def export_matches(
     )
     order = [
         F.asc("query_id"),
-        F.asc("sort_value") if ascending else F.desc("sort_value"),
+        # NULLS LAST both ways (Solr sortMissingLast / DuckDB default;
+        # Spark's bare asc() would emit NULL sort values first)
+        F.asc_nulls_last("sort_value") if ascending else F.desc_nulls_last("sort_value"),
         F.asc("doc_id"),
     ]
     return j.orderBy(*order).select(

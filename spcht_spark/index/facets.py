@@ -105,8 +105,9 @@ def facet_counts(
     bucket expression like ``F.floor(F.col("n_chars")/100)*100`` for
     ``facet.range``) or a ``(Column, [attr_col, ...])`` tuple naming
     the attrs columns the expression reads — the explicit form prunes
-    the attrs join input without any plan-string introspection (prefer
-    it; the bare-Column form falls back to a best-effort sniff).
+    the attrs join input; a bare Column joins EVERY attrs column
+    (callers should pre-select attrs or use the tuple form — the old
+    best-effort plan-string sniff is gone, it read ``Column._jc``).
     ``doc_filter`` is Solr fq: a (doc_id) DataFrame
     restricting the countable docs (semi-join on ids — narrow).
     ``match`` overrides the default disjunctive matching set with a
@@ -127,11 +128,12 @@ def facet_counts(
         name: (v if isinstance(v, tuple) else (v, None))
         for name, v in facets.items()
     }
+    all_attr_cols = [c for c in attrs.columns if c != "doc_id"]
     need = ["doc_id"] + sorted(
         {
             c
             for col, cols in specs.values()
-            for c in (cols if cols is not None else _referenced(attrs, col))
+            for c in (cols if cols is not None else all_attr_cols)
         }
     )
     joined = match.join(
@@ -298,7 +300,9 @@ def field_stats(
         match = match.select("query_id", "doc_id")
     if doc_filter is not None:
         match = match.join(doc_filter.select("doc_id"), "doc_id", "semi")
-    cols = [field] if by in (None, field) else [field, by]
+    # doc_id is always selected — don't select it twice when ``field``
+    # or ``by`` IS doc_id (ambiguous-column analysis error otherwise)
+    cols = [c for c in dict.fromkeys([field, by]) if c not in (None, "doc_id")]
     j = match.join(attrs.select("doc_id", *cols), "doc_id")
     keys = ["query_id"]
     if by is not None:
@@ -311,15 +315,3 @@ def field_stats(
         F.sum(field).cast("long").alias("sum_v"),
         (F.sum(field).cast("double") / F.count(F.lit(1))).alias("avg_v"),
     )
-
-
-def _referenced(attrs: DataFrame, col: Column) -> set[str]:
-    """Columns of attrs a facet expression touches (for pruning the
-    join input). Falls back to all columns when the expression string
-    is opaque (e.g. no ``_jc`` under Spark Connect)."""
-    try:
-        expr = str(col._jc)  # e.g. "Column<'FLOOR((n_chars / 100))'>"
-    except AttributeError:
-        expr = str(col)
-    hits = {c for c in attrs.columns if c != "doc_id" and c in expr}
-    return hits or {c for c in attrs.columns if c != "doc_id"}

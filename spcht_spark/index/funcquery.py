@@ -246,7 +246,10 @@ def function_sort_topk(
     j = match.join(attrs.select("doc_id", *fields), "doc_id").select(
         "query_id", "doc_id", F.round(col, 6).alias("sort_v")
     )
-    direction = F.desc("sort_v") if descending else F.asc("sort_v")
+    # NULLS LAST both ways: Spark's bare asc() puts NULLs FIRST, while
+    # DuckDB (the oracle) and Solr sortMissingLast put them last — pin
+    # the Solr/oracle order explicitly (ADVICE r4).
+    direction = F.desc_nulls_last("sort_v") if descending else F.asc_nulls_last("sort_v")
     order = (direction, F.asc("doc_id"))
     w_salt = Window.partitionBy("query_id", "salt").orderBy(*order)
     pre = (

@@ -211,10 +211,34 @@ class _PosCursor:
         return docs, tfs, dls, positions, pos_offsets
 
 
+def _slop_window_match(lists: list[np.ndarray], slop: int) -> bool:
+    """True iff one position can be chosen from each adjusted list with
+    max-min spread ≤ slop (the classic k-sorted-lists min-window scan:
+    advance the pointer of the current minimum; O(total positions · k)
+    with query-sized k). Lists are ascending (positions decode in doc
+    order); adjusted position = raw position − phrase offset, so an
+    exact phrase has spread 0 and Lucene's documented examples hold
+    ("a x b" matches "a b"~1; the transposition "b a" matches "a b"~2)."""
+    ptrs = [0] * len(lists)
+    vals = [int(lst[0]) for lst in lists]
+    while True:
+        mx, mn = max(vals), min(vals)
+        if mx - mn <= slop:
+            return True
+        i = vals.index(mn)
+        ptrs[i] += 1
+        if ptrs[i] >= len(lists[i]):
+            return False
+        vals[i] = int(lists[i][ptrs[i]])
+
+
 def _phrase_one_group(
-    pdf: pd.DataFrame, phrase: list[str], idfs: dict[str, float], avgdl: float
+    pdf: pd.DataFrame, phrase: list[str], idfs: dict[str, float], avgdl: float,
+    slop: int = 0,
 ) -> list[tuple[int, float]]:
-    """Docs of one shard matching the phrase, with conjunctive scores."""
+    """Docs of one shard matching the phrase, with conjunctive scores.
+    ``slop`` is Lucene/Solr phrase slop (``"a b"~2``): terms must admit
+    positions whose adjusted spread is ≤ slop (0 = exact adjacency)."""
     uniq_terms = sorted(set(phrase))
     cursors = {t: _PosCursor(g) for t, g in pdf.groupby("term")}
     if any(t not in cursors for t in uniq_terms):
@@ -258,20 +282,31 @@ def _phrase_one_group(
 
     out: list[tuple[int, float]] = []
     for d in cand.tolist():
-        starts = per_doc_pos[phrase[0]].get(d)
-        if starts is None:
-            continue
-        ok = starts
-        for j, t in enumerate(phrase[1:], start=1):
-            nxt = per_doc_pos[t].get(d)
-            if nxt is None:
-                ok = np.zeros(0, dtype=np.int64)
-                break
-            ok = np.intersect1d(ok, nxt - j, assume_unique=True)
+        if slop == 0:
+            starts = per_doc_pos[phrase[0]].get(d)
+            if starts is None:
+                continue
+            ok = starts
+            for j, t in enumerate(phrase[1:], start=1):
+                nxt = per_doc_pos[t].get(d)
+                if nxt is None:
+                    ok = np.zeros(0, dtype=np.int64)
+                    break
+                ok = np.intersect1d(ok, nxt - j, assume_unique=True)
+                if not len(ok):
+                    break
             if not len(ok):
-                break
-        if not len(ok):
-            continue
+                continue
+        else:
+            lists = []
+            for j, t in enumerate(phrase):
+                ps = per_doc_pos[t].get(d)
+                if ps is None:
+                    lists = None
+                    break
+                lists.append(ps - j)  # adjusted positions
+            if lists is None or not _slop_window_match(lists, slop):
+                continue
         dl = doc_dl[d]
         score = 0.0
         for t in uniq_terms:  # ascending-term summation (bit contract)
@@ -289,10 +324,35 @@ def phrase_topk(
     dictionary: DataFrame,
     stats: DataFrame,
     queries: list[tuple[str, list[str], int]],
+    slop: int | dict[str, int] = 0,
 ) -> DataFrame:
-    """Exact phrase top-k over a positional block index. ``queries`` are
+    """Phrase top-k over a positional block index. ``queries`` are
     (query_id, phrase-terms-in-order, k); a phrase term absent from the
-    index empties that query (MUST semantics)."""
+    index empties that query (MUST semantics).
+
+    ``slop`` — Lucene/Solr ``"a b"~n`` (int for the whole batch or a
+    per-query-id dict, default 0 = exact adjacency): a doc matches when
+    its term positions, adjusted by phrase offset, admit a window of
+    spread ≤ slop; scoring is unchanged (conjunctive BM25 of the
+    phrase's distinct terms — the engine's documented phrase contract;
+    Lucene's sloppyFreq weighting is a scoring refinement we do not
+    mirror because the oracle twin gates on containment, not proximity
+    weight). Sloppy phrases with REPEATED terms are rejected: the
+    window check cannot guarantee distinct actual positions there, and
+    wrong answers are worse than an explicit cap."""
+    slops = (
+        {qid: int(slop) for qid, _, _ in queries}
+        if isinstance(slop, int)
+        else {qid: int(slop.get(qid, 0)) for qid, _, _ in queries}
+    )
+    for qid, ts, _ in queries:
+        if slops[qid] > 0 and len(set(ts)) != len(ts):
+            raise ValueError(
+                f"query {qid!r}: sloppy phrases with repeated terms are "
+                "not supported (slop>0 needs distinct phrase terms)"
+            )
+        if slops[qid] < 0:
+            raise ValueError(f"query {qid!r}: negative slop")
     stats_row = stats.collect()[0]
     avgdl = float(stats_row["avgdl"])
     all_terms = sorted({t for _, ts, _ in queries for t in ts})
@@ -311,7 +371,9 @@ def phrase_topk(
 
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = key[0]
-        res = _phrase_one_group(pdf, phrases[query_id], idfs, avgdl)
+        res = _phrase_one_group(
+            pdf, phrases[query_id], idfs, avgdl, slop=slops[query_id]
+        )
         return pd.DataFrame(
             {"query_id": query_id, "doc_id": [d for d, _ in res],
              "score": [s for _, s in res]}

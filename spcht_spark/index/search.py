@@ -305,20 +305,39 @@ def search(
             store = store.withColumnRenamed(id_col, "doc_id")
         if content_col != "content":
             store = store.withColumnRenamed(content_col, "content")
+        tokenizer = getattr(index, "tokenizer", None)
+        if tokenizer is None:
+            # Pre-round-4 index manifests lack the tokenizer key; a
+            # silent 'arrow' guess re-analyzes a ws/jvm-built index
+            # with the wrong tokenizer and tf diverges from the
+            # postings (ADVICE r4) — be loud about the assumption.
+            import warnings
+
+            tokenizer = "arrow"
+            warnings.warn(
+                "index manifest has no tokenizer; term vectors assume "
+                "'arrow' — rebuild or backfill manifest params if the "
+                "index was built with --tokenizer ws/jvm",
+                stacklevel=2,
+            )
         tv_df = _term_vectors(
             spark, store, index.dictionary, ids,
-            tokenizer=getattr(index, "tokenizer", None) or "arrow",
+            tokenizer=tokenizer,
             analyzer=index.analyzer,
         )
     collate_df = None
     if request.collate:
-        from spcht_spark.index.suggest import spellcheck_collate
+        from spcht_spark.index.suggest import spellcheck_collate_q
 
-        # collation corrects the ORIGINAL query's terms (before fuzzy/
-        # synonym expansion), Solr spellcheck.q semantics
-        collate_df = spellcheck_collate(
-            spark, index.dictionary, index.blocks,
-            [(query_id, sorted(ast_terms(raw_ast)))],
+        # collation corrects the ORIGINAL query string (before fuzzy/
+        # synonym expansion — Solr spellcheck.q semantics) and counts
+        # hits by re-running the collated query WITH its operators
+        # (ADVICE r4: the conjunctive-terms shortcut over-counted OR
+        # alternatives and counted MUST_NOT terms as required)
+        collate_df = spellcheck_collate_q(
+            spark, index.dictionary, index.blocks, index.stats,
+            [(query_id, request.q)],
+            analyzer=index.analyzer, attrs=attrs,
         )
     parents_df = None
     if request.parent_field:
@@ -365,7 +384,11 @@ def _sorted_page(
     ).select(
         "query_id", "doc_id", "score", F.round(col, 6).alias("_sort_v")
     )
-    direction = F.desc("_sort_v") if descending else F.asc("_sort_v")
+    # NULLS LAST in both directions (Solr sortMissingLast / DuckDB
+    # default — Spark's bare asc() is NULLS FIRST; ADVICE r4)
+    direction = (
+        F.desc_nulls_last("_sort_v") if descending else F.asc_nulls_last("_sort_v")
+    )
     order = (direction, F.asc("doc_id"))
     w_salt = Window.partitionBy("query_id", "salt").orderBy(*order)
     pre = (

@@ -128,3 +128,110 @@ def spellcheck_collate(
             F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
         )
     )
+
+
+def _collate_token(tok: str, known: set[str], best: dict[str, str], fold) -> str:
+    """Rewrite one lexed query token: a fulltext term absent from the
+    dictionary is replaced by its top suggestion; operators, parens,
+    attribute clauses, boosts and fuzzy/negation decorations pass
+    through (decorations are preserved on the corrected base)."""
+    from spcht_spark.index.boolean import _ATTR_RE, _BOOST_RE, _FUZZY_Q_RE
+
+    if tok in ("(", ")") or tok.upper() in ("AND", "OR", "NOT"):
+        return tok
+    neg = ""
+    body = tok
+    if body.startswith("-") and len(body) > 1:
+        neg, body = "-", body[1:]
+    if _ATTR_RE.match(body):
+        return tok  # field:value / range clause — never spell-corrected
+    boost = ""
+    m = _BOOST_RE.match(body)
+    if m:
+        body, boost = m.group(1), "^" + m.group(2)
+    fuz = ""
+    mf = _FUZZY_Q_RE.match(body)
+    if mf:
+        body, fuz = mf.group(1), "~" + mf.group(2)
+    folded = fold(body)
+    if folded in known:
+        return tok
+    sug = best.get(folded)
+    if sug is None:
+        return tok  # no suggestion in range — keep verbatim (0-hit clause)
+    return neg + sug + boost + fuz
+
+
+def spellcheck_collate_q(
+    spark: SparkSession,
+    dictionary: DataFrame,
+    blocks: DataFrame,
+    stats: DataFrame,
+    queries: list[tuple[str, str]],
+    analyzer: str | None = None,
+    attrs: DataFrame | None = None,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Operator-preserving ``spellcheck.collate`` over full boolean
+    ``q`` strings (ADVICE r4, medium): Solr verifies a collation by
+    re-running the corrected query WITH its original operators, so
+    ``spark OR jion`` counts the disjunction and ``spark AND -jion``
+    counts docs with spark and WITHOUT the corrected term — the
+    conjunctive-terms shortcut (:func:`spellcheck_collate`) over-counts
+    OR queries and mis-counts negations as required.
+
+    Returns (query_id, collation, hits): the collation is the original
+    query string with dictionary-absent fulltext terms replaced by
+    their top suggestion (decorations — boosts, fuzzy markers,
+    ``-``-negation — preserved; attribute clauses never corrected), and
+    ``hits`` is the size of the collated query's admissible set from
+    one boolean_matches pass (operators, attr clauses and fq-less
+    semantics exactly as the live query path would execute it)."""
+    from spcht_spark.index.boolean import (
+        _fold_fn,
+        _lex,
+        ast_terms,
+        boolean_matches_ast,
+        expand_fuzzy_asts,
+        parse_query,
+    )
+
+    fold = _fold_fn(analyzer)
+    raw_asts = [parse_query(q, analyzer) for _, q in queries]
+    all_terms = sorted({t for ast in raw_asts for t in ast_terms(ast)})
+    known = {
+        r["term"]
+        for r in dictionary.filter(F.col("term").isin(all_terms))
+        .select("term")
+        .collect()
+    }
+    missing = sorted(set(all_terms) - known)
+    best: dict[str, str] = {}
+    if missing:
+        top = suggest(
+            spark, dictionary, missing, max_distance=max_distance, top_n=1
+        ).collect()
+        best = {r["qterm"]: r["suggestion"] for r in top}
+    collations = {
+        qid: " ".join(_collate_token(t, known, best, fold) for t in _lex(q))
+        for qid, q in queries
+    }
+    base = spark.createDataFrame(
+        [(qid, collations[qid]) for qid, _ in queries],
+        ["query_id", "collation"],
+    )
+    parsed_coll = expand_fuzzy_asts(
+        [parse_query(collations[qid], analyzer) for qid, _ in queries],
+        dictionary,
+    )
+    matches = boolean_matches_ast(
+        spark, blocks, dictionary, stats,
+        [(qid, ast, 1) for (qid, _), ast in zip(queries, parsed_coll)],
+        attrs=attrs,
+    )
+    hits = matches.groupBy("query_id").agg(F.count(F.lit(1)).alias("hits"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "collation",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+    )

@@ -146,9 +146,64 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _partition_rows(sdir: str) -> tuple[list[tuple[int, int]], int]:
+    """Per-output-partition row counts + total, read DRIVER-SIDE from
+    the committed parquet footers (pyarrow) — no Spark job. The previous
+    implementation re-scanned the whole stage output
+    (``groupBy(spark_partition_id()).count()``), which at 10^12 files is
+    a second full pass over the largest tables (tokens, blocks) per
+    stage; footers carry the exact counts for free. Partition id =
+    part-file ordinal, i.e. the WRITE partition (what lineage means),
+    where the re-scan reported read-split ids."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        f for f in os.listdir(sdir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    per = [
+        (pid, pq.ParquetFile(os.path.join(sdir, f)).metadata.num_rows)
+        for pid, f in enumerate(files)
+    ]
+    return per, sum(n for _, n in per)
+
+
+_METRICS_ARROW_SCHEMA = None
+
+
 def _append_metrics(order: WorkOrder, spark: SparkSession, rows: list[tuple]) -> None:
+    """Append lineage rows to <workdir>/metrics driver-side (one small
+    pyarrow file per stage — schema matches what Spark's createDataFrame
+    used to write, so spark.read.parquet over the dir is unchanged).
+    Appending a file is atomic enough for resume: a torn metrics write
+    never gates stage completion (the manifest does)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    global _METRICS_ARROW_SCHEMA
+    if _METRICS_ARROW_SCHEMA is None:
+        _METRICS_ARROW_SCHEMA = pa.schema(
+            [
+                pa.field("run_id", pa.string()),
+                pa.field("stage", pa.string()),
+                pa.field("partition_id", pa.int64()),
+                pa.field("status", pa.int64()),
+                pa.field("rows_out", pa.int64()),
+                pa.field("bytes_out", pa.int64()),
+                pa.field("started_at", pa.float64()),
+                pa.field("finished_at", pa.float64()),
+            ]
+        )
     mdir = os.path.join(order.workdir, "metrics")
-    spark.createDataFrame(rows, METRICS_COLS).coalesce(1).write.mode("append").parquet(mdir)
+    os.makedirs(mdir, exist_ok=True)
+    cols = list(zip(*rows))
+    table = pa.table(
+        {name: list(vals) for name, vals in zip(METRICS_COLS, cols)},
+        schema=_METRICS_ARROW_SCHEMA,
+    )
+    pq.write_table(table, os.path.join(mdir, f"part-{uuid.uuid4().hex}.parquet"))
 
 
 def run_order(
@@ -194,19 +249,15 @@ def run_order(
             df = df.sortWithinPartitions(*stage.sort_cols)
         df.write.mode("overwrite").parquet(sdir)
         out = spark.read.parquet(sdir)
-        # Per-partition lineage (file_list parity): rows per output partition.
-        part_counts = (
-            out.groupBy(F.spark_partition_id().alias("pid"))
-            .count()
-            .collect()
-        )
+        # Per-partition lineage (file_list parity): rows per output
+        # partition, from the parquet footers — no re-scan job.
+        per_part, total = _partition_rows(sdir)
         finished = order.clock()
         rows = [
-            (order.run_id, stage.name, int(r["pid"]), Status.STAGE_DONE,
-             int(r["count"]), -1, float(started), float(finished))
-            for r in part_counts
+            (order.run_id, stage.name, pid, Status.STAGE_DONE,
+             n, -1, float(started), float(finished))
+            for pid, n in per_part
         ]
-        total = sum(int(r["count"]) for r in part_counts)
         rows.append(
             (order.run_id, stage.name, -1, Status.STAGE_DONE, total,
              _dir_bytes(sdir), float(started), float(finished))

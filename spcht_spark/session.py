@@ -83,6 +83,11 @@ def get_spark(
         # have orders of magnitude more splits than cores either way.
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "1m")
+        # v2 commit: tasks move outputs to the final dir at task commit;
+        # job commit is O(1) instead of a sequential driver-side rename
+        # of every part file. Right for local fs/HDFS (this target); an
+        # object store would use a cloud committer instead.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -278,10 +278,11 @@ def test_facade_round4_components(spark, small_index, small_corpus):
     tv = resp.term_vectors.toPandas()
     assert set(tv["doc_id"]) <= set(hits["doc_id"])
     assert (tv["tf"] > 0).all() and (tv["df"] > 0).all()
-    # collate: both terms exist in the dictionary → collation verbatim,
+    # collate: both terms exist in the dictionary → collation is the
+    # ORIGINAL query string verbatim (operator-preserving, round 5);
     # hits == the conjunctive match count
     sc = resp.spellcheck.toPandas()
-    assert sc.loc[0, "collation"] == "import return"
+    assert sc.loc[0, "collation"] == "return AND import"
     # parents: grouped max-score roll-up of the same admissible set
     parents = resp.parents.toPandas()
     assert (parents["n_children"] > 0).all()
