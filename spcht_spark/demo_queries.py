@@ -400,6 +400,87 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
 """
 
 
+# Sloppy phrases ("a b"~n, round-4 VERDICT next #3): 2-term phrases
+# with per-query slop; sp_swap needs slop 2 (Lucene's documented
+# transposition example), sp_exact0 pins slop=0 ≡ the exact path
+# inside the same driver entry. Slop>0 requires distinct terms.
+DOC_SLOP_PHRASES: list[tuple[str, list[str], int]] = [
+    ("sp_order_sort", ["order", "sort"], 1),
+    ("sp_swap", ["sort", "order"], 2),
+    ("sp_hash_join", ["hash", "join"], 3),
+    ("sp_exact0", ["stream", "spark"], 0),
+]
+
+
+def q_index_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase retrieval (Solr/Lucene ``"a b"~n``): positions
+    adjusted by phrase offset must admit a window of spread ≤ slop —
+    the k-sorted-lists min-window scan over the SAME positional blocks
+    the exact phrase path decodes (spcht_spark.index.phrase). Matching
+    docs score with the conjunctive BM25 of the phrase's distinct
+    terms. The DuckDB oracle reproduces the window gate with a
+    position self-join over the tokenized text (2-term phrases:
+    |pos(b)−1−pos(a)| ≤ slop)."""
+    from spcht_spark.index.phrase import phrase_topk
+
+    idx = _persisted_positional_index(spark, sf_dir)
+    qs = [(qid, ts, DOC_K + 5) for qid, ts, _ in DOC_SLOP_PHRASES]
+    out = phrase_topk(
+        spark, idx.blocks, idx.dictionary, idx.stats, qs,
+        slop={qid: s for qid, _, s in DOC_SLOP_PHRASES},
+    )
+    return _rerank_rounded(out)
+
+
+def _phrase_slop_sql() -> str:
+    """Window-gate twin: one positions CTE (zipped unnest), per-query
+    2-term position join with the slop bound, conjunctive BM25 over
+    the phrase terms restricted to matching docs."""
+    vals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, ts, _ in DOC_SLOP_PHRASES
+        for t in sorted(set(ts))
+    )
+    sq = ", ".join(
+        f"('{qid}', '{ts[0]}', '{ts[1]}', {s})"
+        for qid, ts, s in DOC_SLOP_PHRASES
+    )
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  sq(query_id, t1, t2, slop) AS (VALUES {sq}),
+  tokpos AS (
+    SELECT doc_id, unnest(toks) AS term,
+           unnest(generate_series(1, len(toks))) - 1 AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents) d),
+  m AS (SELECT DISTINCT sq.query_id, p1.doc_id
+        FROM sq
+        JOIN tokpos p1 ON p1.term = sq.t1
+        JOIN tokpos p2 ON p2.doc_id = p1.doc_id AND p2.term = sq.t2
+                      AND abs((p2.pos - 1) - p1.pos) <= sq.slop),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+         JOIN m ON m.query_id = q.query_id AND m.doc_id = tf.doc_id
+    GROUP BY q.query_id, tf.doc_id),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
+"""
+
+
 def _filtered_bm25_sql() -> str:
     """Same BM25 oracle, candidates restricted by the fq AFTER scoring
     stats are fixed (idf/avgdl over the full corpus — fq semantics)."""
@@ -1108,6 +1189,74 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
 """
 
 
+# Leading/infix wildcards (round-4 VERDICT next #5): shapes a pure
+# startswith prune cannot answer — *ow (suffix), s*k (infix gap),
+# *a* (broad: exercises the maxExpansions cap), f?st (single-char ?).
+DOC_WILDCARD_QUERIES: list[tuple[str, str]] = [
+    ("w_suffix_ow", "*ow"),
+    ("w_infix_sk", "s*k"),
+    ("w_broad_a", "*a*"),
+    ("w_qmark", "f?st"),
+]
+_WILDCARD_MAX_EXPANSIONS = 5
+
+
+def q_index_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading/infix wildcard queries (Lucene answers ``*handler`` /
+    ``te*t`` by automaton scan of the term dictionary): ONE regexp
+    scan of the small dictionary table against the broadcast pattern
+    batch, capped at the top-5 expansions by (df desc, term asc)
+    (maxExpansions discipline), then the disjunctive BM25
+    SCORING_BOOLEAN rewrite through the unchanged exact path — the
+    same contract as prefix/fuzzy expansion. The DuckDB oracle runs
+    the identical anchored regex over its term frequencies."""
+    from spcht_spark.index.prefix import wildcard_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    qs = [(qid, p, DOC_K + 5) for qid, p in DOC_WILDCARD_QUERIES]
+    out = wildcard_topk(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, qs,
+        max_expansions=_WILDCARD_MAX_EXPANSIONS,
+    )
+    return _rerank_rounded(out)
+
+
+def _wildcard_bm25_sql() -> str:
+    from spcht_spark.index.prefix import wildcard_regex
+
+    vals = ", ".join(
+        f"('{qid}', '{wildcard_regex(p)}')" for qid, p in DOC_WILDCARD_QUERIES
+    )
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  p(query_id, rx) AS (VALUES {vals}),
+  e AS (SELECT query_id, term FROM (
+          SELECT p.query_id, dft.term,
+                 row_number() OVER (PARTITION BY p.query_id
+                                    ORDER BY dft.df DESC, dft.term) AS rn
+          FROM p JOIN dft ON regexp_matches(dft.term, p.rx))
+        WHERE rn <= {_WILDCARD_MAX_EXPANSIONS}),
+  scored AS (
+    SELECT e.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM e JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY e.query_id, tf.doc_id),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
+"""
+
+
 _ANALYZED_SPEC = "lowercase,stop,sstem"
 # Mixed-case / plural query forms: the analyzer chain must fold them to
 # the index's folded vocabulary (windows→window, Joins→join, …).
@@ -1420,6 +1569,115 @@ WITH {_TOK_SQL},
 SELECT query_id, value1,
        CASE WHEN g2 = 1 THEN '*' ELSE value2 END AS value2, n
 FROM r WHERE g0 = 0 AND g1 = 0
+"""
+
+
+def q_index_pivot3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level pivot facets (Solr ``facet.pivot=f1,f2,f3`` —
+    arbitrary comma-list depth, round-4 VERDICT next #6): 3-level
+    hierarchical counts over each query's matching set — (lang,
+    source, length-band) leaves plus per-(lang, source) and per-lang
+    subtotals (PIVOT_ALL tail) — ALL levels from ONE Catalyst ROLLUP
+    pass over match⋈attrs; the deeper hierarchy adds zero extra
+    shuffles vs the 2-level pivot. The DuckDB oracle runs the
+    identical GROUP BY ROLLUP + GROUPING() filter."""
+    from spcht_spark.index.grouping import pivot_facets
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    attrs = docs.select(
+        "doc_id", "lang", "source",
+        F.floor(F.col("n_chars") / 200).cast("long").alias("len_bkt"),
+    )
+    return pivot_facets(
+        spark, idx.blocks, DOC_QUERIES, attrs, "lang", "source", "len_bkt",
+    )
+
+
+def _pivot3_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  q(query_id, term) AS (VALUES {vals}),
+  m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+  j AS (SELECT m.query_id, d.lang::VARCHAR AS value1,
+               d.source::VARCHAR AS value2,
+               floor(d.n_chars / 200)::BIGINT::VARCHAR AS value3
+        FROM m JOIN documents d USING (doc_id)),
+  r AS (SELECT query_id, value1, value2, value3, count(*)::BIGINT AS n,
+               GROUPING(query_id) AS g0, GROUPING(value1) AS g1,
+               GROUPING(value2) AS g2, GROUPING(value3) AS g3
+        FROM j GROUP BY ROLLUP(query_id, value1, value2, value3))
+SELECT query_id, value1,
+       CASE WHEN g2 = 1 THEN '*' ELSE value2 END AS value2,
+       CASE WHEN g3 = 1 THEN '*' ELSE value3 END AS value3, n
+FROM r WHERE g0 = 0 AND g1 = 0
+"""
+
+
+_NGROUPS_LIMIT = 2
+_NGROUPS_K = 3
+
+
+def q_index_group_ngroups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result grouping with ``group.ngroups=true`` (round-4 VERDICT
+    next #6): top-3 source groups per query (top-2 docs each) PLUS the
+    total distinct-group count of the whole matching set on every row
+    — Solr reports ngroups next to the group list. The count comes
+    from the heads frame the group ranking already materializes (one
+    row per (query, group)), so it costs one agg over group-cardinality
+    rows and a broadcast join, never a second scan of the scored
+    docs."""
+    from spcht_spark.index.grouping import group_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    qs = [(qid, ts, _NGROUPS_K) for qid, ts in DOC_QUERIES]
+    return group_topk(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats,
+        docs.select("doc_id", "source"), "source", qs,
+        group_limit=_NGROUPS_LIMIT, ngroups=True,
+    )
+
+
+def _group_ngroups_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  jg AS (SELECT s.query_id, s.doc_id, s.raw, d.source::VARCHAR AS grp
+         FROM scored s JOIN documents d USING (doc_id)),
+  ng AS (SELECT query_id, count(DISTINCT grp)::BIGINT AS ngroups
+         FROM jg GROUP BY query_id),
+  m AS (SELECT *,
+               row_number() OVER (PARTITION BY query_id, grp
+                                  ORDER BY round(raw, 6) DESC, doc_id) AS doc_rank,
+               count(*) OVER (PARTITION BY query_id, grp) AS grp_n
+        FROM jg),
+  gr AS (SELECT query_id, grp,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY h_score DESC, h_doc) AS grp_rank
+         FROM (SELECT query_id, grp, round(raw, 6) AS h_score,
+                      doc_id AS h_doc
+               FROM m WHERE doc_rank = 1))
+SELECT m.query_id, gr.grp_rank::INTEGER AS grp_rank, m.grp,
+       m.grp_n::BIGINT AS grp_n, m.doc_rank::INTEGER AS doc_rank,
+       m.doc_id, round(m.raw, 4) AS score, ng.ngroups
+FROM m JOIN gr ON m.query_id = gr.query_id AND m.grp = gr.grp
+     JOIN ng ON ng.query_id = m.query_id
+WHERE gr.grp_rank <= {_NGROUPS_K} AND m.doc_rank <= {_NGROUPS_LIMIT}
 """
 
 
@@ -3457,6 +3715,7 @@ _ALL_QUERIES = {
     "index_filtered_topk": q_index_filtered_topk,
     "index_incremental_topk": q_index_incremental_topk,
     "index_phrase_topk": q_index_phrase_topk,
+    "index_phrase_slop": q_index_phrase_slop,
     "index_facets": q_index_facets,
     "index_facet_topn": q_index_facet_topn,
     "index_boosted_topk": q_index_boosted_topk,
@@ -3468,11 +3727,14 @@ _ALL_QUERIES = {
     "index_dismax_topk": q_index_dismax_topk,
     "index_minmatch_topk": q_index_minmatch_topk,
     "index_prefix_topk": q_index_prefix_topk,
+    "index_wildcard_topk": q_index_wildcard_topk,
     "index_fuzzy_topk": q_index_fuzzy_topk,
     "index_analyzed_topk": q_index_analyzed_topk,
     "index_collapse": q_index_collapse,
     "index_group_topk": q_index_group_topk,
     "index_pivot_facets": q_index_pivot_facets,
+    "index_pivot3": q_index_pivot3,
+    "index_group_ngroups": q_index_group_ngroups,
     "index_facet_query": q_index_facet_query,
     "index_stats_field": q_index_stats_field,
     "index_suggest": q_index_suggest,
@@ -3541,11 +3803,18 @@ _ALL_QUERIES = {
 # tests/test_driver_overflow.py running the same oracle compare. This
 # round the previously-dropped hash ops rotate INTO the driver set and
 # six pytest-parity-pinned pure-Catalyst ops rotate out to overflow.
-# Round 4 adds 6 request-surface entries (tv/collate/funcsort/
-# stats.facet/parent-join/export) to the driver set; six ops whose code
-# did not change this round rotate to overflow (still hard-gated there).
+# Round 4 added 9 entries (tv/collate/funcsort/stats.facet/parent-join/
+# export/search-request + 2 sampling ops) and rotated 9 unchanged ops to
+# overflow (ADVICE r4: the old comment miscounted 6/6). Round 5 adds 4
+# (phrase-slop, wildcard, 3-level pivot, group.ngroups) and rotates out
+# explain/terms/mlt/collapse — their modules did not change this round
+# and they stay hard-gated in overflow.
 DRIVER_GATE_CAP = 50
 OVERFLOW_QUERY_NAMES = [
+    "index_explain",
+    "index_terms_component",
+    "index_mlt",
+    "index_collapse",
     "term_stats",
     "doclen_hist",
     "regex_match_filter",
@@ -3595,6 +3864,7 @@ ORACLES = {
     "index_filtered_topk": _filtered_bm25_sql(),
     "index_incremental_topk": _bm25_sql(),
     "index_phrase_topk": _phrase_bm25_sql(),
+    "index_phrase_slop": _phrase_slop_sql(),
     "index_facets": _facets_sql(),
     "index_facet_topn": _facet_topn_sql(),
     "index_boosted_topk": _boosted_bm25_sql(),
@@ -3606,11 +3876,14 @@ ORACLES = {
     "index_dismax_topk": _dismax_bm25_sql(),
     "index_minmatch_topk": _minmatch_bm25_sql(),
     "index_prefix_topk": _prefix_bm25_sql(),
+    "index_wildcard_topk": _wildcard_bm25_sql(),
     "index_fuzzy_topk": _fuzzy_bm25_sql(),
     "index_analyzed_topk": _analyzed_bm25_sql(),
     "index_collapse": _collapse_sql(),
     "index_group_topk": _group_topk_sql(),
     "index_pivot_facets": _pivot_facets_sql(),
+    "index_pivot3": _pivot3_sql(),
+    "index_group_ngroups": _group_ngroups_sql(),
     "index_facet_query": _facet_query_sql(),
     "index_stats_field": _stats_field_sql(),
     "index_suggest": _suggest_sql(),

@@ -57,12 +57,17 @@ def group_topk(
     group_col: str,
     queries: list[tuple[str, list[str], int]],
     group_limit: int = 1,
+    ngroups: bool = False,
 ) -> DataFrame:
     """(query_id, grp_rank, grp, grp_n, doc_rank, doc_id, score):
     the top-k groups of each query — ranked by their best doc under
     the engine-wide determinism contract (round(score,6) desc, doc_id
     asc) — each carrying its total match count ``grp_n`` (Solr's
     per-group numFound) and its top ``group_limit`` docs.
+
+    ``ngroups=True`` appends Solr's ``group.ngroups`` — the TOTAL
+    distinct-group count of the query's matching set (not just the
+    returned top-k) — as an extra ``ngroups`` column on every row.
 
     ``doclens`` is accepted for API symmetry (decode_blocks surfaces
     the blocks' dl lane). ``group_limit=1`` degenerates to field
@@ -85,7 +90,8 @@ def group_topk(
     postings = decode_blocks(blocks.filter(F.col("term").isin(list(idfs.keys()))))
     scores = score_postings(postings, idfs, avgdl, query_terms)
     return group_scored(
-        scores, attrs, group_col, {qid: k for qid, _, k in queries}, group_limit
+        scores, attrs, group_col, {qid: k for qid, _, k in queries},
+        group_limit, ngroups=ngroups,
     )
 
 
@@ -95,11 +101,17 @@ def group_scored(
     group_col: str,
     ks: dict[str, int],
     group_limit: int = 1,
+    ngroups: bool = False,
 ) -> DataFrame:
     """Grouping core over a pre-scored (query_id, doc_id, score) frame
     — what :func:`group_topk` runs after BM25 scoring, and what the
     search facade feeds its boolean admissible set (so ``group=true``
-    composes with the full q language / fq, like one Solr request)."""
+    composes with the full q language / fq, like one Solr request).
+
+    ``ngroups`` counts distinct groups from the heads frame (one row
+    per (query, group) already exists for group ranking) — an agg over
+    group-cardinality rows plus a broadcast join, never a second pass
+    over the scored rows."""
     j = scored.select("query_id", "doc_id", "score").join(
         attrs.select("doc_id", F.col(group_col).cast("string").alias("grp")),
         "doc_id",
@@ -137,7 +149,7 @@ def group_scored(
         .filter(F.col("grp_rank") <= k_map[F.col("query_id")])
         .select("query_id", "grp", "grp_rank")
     )
-    return members.join(F.broadcast(top_groups), ["query_id", "grp"]).select(
+    out = members.join(F.broadcast(top_groups), ["query_id", "grp"]).select(
         "query_id",
         "grp_rank",
         "grp",
@@ -146,6 +158,12 @@ def group_scored(
         "doc_id",
         F.round("score", 4).alias("score"),
     )
+    if ngroups:
+        n_grp = heads.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("ngroups")
+        )
+        out = out.join(F.broadcast(n_grp), "query_id")
+    return out
 
 
 def pivot_facets(
@@ -153,51 +171,61 @@ def pivot_facets(
     blocks: DataFrame,
     queries: list[tuple[str, list[str]]],
     attrs: DataFrame,
-    field1: str,
-    field2: str,
+    *fields: str,
     doc_filter: DataFrame | None = None,
     match: DataFrame | None = None,
 ) -> DataFrame:
-    """(query_id, value1, value2, n) — Solr ``facet.pivot=f1,f2`` over
-    each query's matching set: leaf rows count (f1, f2) pairs; the
-    per-f1 subtotal rows carry ``value2 = PIVOT_ALL``. One ROLLUP
-    aggregation produces both levels in a single pass; rollup levels
-    that aggregate over query_id or f1 (meaningless here) are dropped
-    via grouping().
+    """(query_id, value1, …, valueN, n) — Solr ``facet.pivot=f1,…,fN``
+    over each query's matching set, any pivot depth (Solr allows an
+    arbitrary comma list). Leaf rows count full (f1,…,fN) tuples; every
+    shallower pivot level appears as a subtotal row whose aggregated
+    tail columns carry ``PIVOT_ALL`` — exactly the prefix aggregations
+    ROLLUP produces, so ALL levels come out of ONE partial-aggregating
+    pass (never N groupBys over the match⋈attrs join). Levels that
+    aggregate over query_id or f1 (meaningless here) are dropped via
+    grouping().
 
     ``match``/``doc_filter`` as in facets.facet_counts: override the
     default disjunctive matching set / restrict by fq ids."""
+    if not fields:
+        raise ValueError("facet.pivot needs at least one field")
     if match is None:
         match = matching_docs(spark, blocks, queries)
     else:
         match = match.select("query_id", "doc_id")
     if doc_filter is not None:
         match = match.join(doc_filter.select("doc_id"), "doc_id", "semi")
+    vcols = [f"value{i + 1}" for i in range(len(fields))]
     j = match.join(
         attrs.select(
             "doc_id",
-            F.col(field1).cast("string").alias("value1"),
-            F.col(field2).cast("string").alias("value2"),
+            *[
+                F.col(f).cast("string").alias(v)
+                for f, v in zip(fields, vcols)
+            ],
         ),
         "doc_id",
     )
     # grouping() is only resolvable inside the rollup's own agg, so the
     # level flags materialize as columns there and the filter reads them
     return (
-        j.rollup("query_id", "value1", "value2")
+        j.rollup("query_id", *vcols)
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.grouping("query_id").alias("_g0"),
-            F.grouping("value1").alias("_g1"),
-            F.grouping("value2").alias("_g2"),
+            *[F.grouping(v).alias(f"_g{i + 1}") for i, v in enumerate(vcols)],
         )
         .filter((F.col("_g0") == 0) & (F.col("_g1") == 0))
         .select(
             "query_id",
-            "value1",
-            F.when(F.col("_g2") == 1, F.lit(PIVOT_ALL))
-            .otherwise(F.col("value2"))
-            .alias("value2"),
+            vcols[0],
+            *[
+                F.when(F.col(f"_g{i + 1}") == 1, F.lit(PIVOT_ALL))
+                .otherwise(F.col(v))
+                .alias(v)
+                for i, v in enumerate(vcols)
+                if i > 0
+            ],
             "n",
         )
     )

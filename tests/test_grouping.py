@@ -190,3 +190,69 @@ def test_facet_query_zero_fill_on_empty_base(spark, small_index):
     ).toPandas()
     assert len(got) == 2
     assert got["n"].tolist() == [0, 0]
+
+
+def test_pivot3_vs_pandas(spark, small_index, small_corpus):
+    """n-level generalization: 3 fields, one ROLLUP pass — leaves plus
+    BOTH subtotal levels (tail PIVOT_ALL) match a pandas recompute."""
+    from spcht_spark.index.facets import matching_docs
+    from spcht_spark.index.grouping import PIVOT_ALL, pivot_facets
+
+    queries = [(q, ts) for q, ts, _ in QUERIES]
+    attrs = small_corpus.select(
+        "doc_id", "lang", "repo",
+        (F.col("doc_id") % 3).cast("string").alias("band"),
+    )
+    got = pivot_facets(
+        spark, small_index.blocks, queries, attrs, "lang", "repo", "band"
+    ).toPandas()
+
+    m = matching_docs(spark, small_index.blocks, queries).toPandas()
+    j = m.merge(attrs.toPandas(), on="doc_id").rename(
+        columns={"lang": "value1", "repo": "value2", "band": "value3"}
+    )
+    leaf = (
+        j.groupby(["query_id", "value1", "value2", "value3"])
+        .size().reset_index(name="n")
+    )
+    sub2 = j.groupby(["query_id", "value1", "value2"]).size().reset_index(name="n")
+    sub2["value3"] = PIVOT_ALL
+    sub1 = j.groupby(["query_id", "value1"]).size().reset_index(name="n")
+    sub1["value2"] = PIVOT_ALL
+    sub1["value3"] = PIVOT_ALL
+    exp = pd.concat([leaf, sub2, sub1], ignore_index=True)
+    key = ["query_id", "value1", "value2", "value3"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = exp[got.columns.tolist()].sort_values(key).reset_index(drop=True)
+    assert got_s[key].values.tolist() == exp_s[key].values.tolist()
+    assert got_s["n"].astype(int).tolist() == exp_s["n"].astype(int).tolist()
+
+
+def test_ngroups_vs_pandas(spark, small_index, small_corpus):
+    """group.ngroups: every output row carries the TOTAL distinct-group
+    count of the query's matching set (not the returned top-k)."""
+    from spcht_spark.index.grouping import group_topk
+
+    attrs = _attrs(small_corpus)
+    got = group_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        attrs, "repo", QUERIES, group_limit=GROUP_LIMIT, ngroups=True,
+    ).toPandas()
+
+    scores = _full_scores(spark, small_index, QUERIES)
+    j = scores.merge(attrs.toPandas(), on="doc_id")
+    exp_ng = j.groupby("query_id")["repo"].nunique().to_dict()
+    assert set(got["query_id"]) == set(exp_ng)
+    for qid, grp in got.groupby("query_id"):
+        assert (grp["ngroups"] == exp_ng[qid]).all(), qid
+    # the ngroups column is the ONLY difference vs ngroups=False
+    base = group_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        attrs, "repo", QUERIES, group_limit=GROUP_LIMIT,
+    ).toPandas()
+    key = ["query_id", "grp_rank", "doc_rank"]
+    a = got.drop(columns=["ngroups"]).sort_values(key).reset_index(drop=True)
+    b = base.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
