@@ -575,10 +575,14 @@ def boolean_matches_ast(
     parsed: list[tuple[str, Ast, int]],
     doc_filter: DataFrame | None = None,
     attrs: DataFrame | None = None,
+    stats_row=None,
+    idfs: dict[str, float] | None = None,
 ) -> DataFrame:
     """:func:`boolean_matches` over pre-parsed, pre-expanded ASTs —
     what :func:`boolean_topk` calls so a routed batch parses and
-    fuzzy-expands each query exactly once."""
+    fuzzy-expands each query exactly once. ``stats_row``/``idfs``:
+    shared batch precompute (see wand_topk) — skips this path's own
+    stats/dictionary driver jobs when the router already ran them."""
     need_fields = sorted({f for _, ast, _ in parsed for f in ast_attr_fields(ast)})
     if need_fields and attrs is None:
         raise ValueError(
@@ -592,10 +596,14 @@ def boolean_matches_ast(
             f"attribute field name(s) {sorted(bad)} collide with engine "
             "columns — rename them in the attrs table and query"
         )
-    stats_row = stats.collect()[0]
+    if stats_row is None:
+        stats_row = stats.collect()[0]
     avgdl = float(stats_row["avgdl"])
     all_terms = sorted({t for _, ast, _ in parsed for t in ast_terms(ast)})
-    idfs = query_idfs(dictionary, stats_row, all_terms)
+    if idfs is None:
+        idfs = query_idfs(dictionary, stats_row, all_terms)
+    else:
+        idfs = {t: idfs[t] for t in all_terms if t in idfs}
     if not idfs:
         return spark.createDataFrame(
             [], schema="query_id string, doc_id long, score double"
@@ -766,15 +774,21 @@ def boolean_topk(
                 continue
         full.append((qid, ast, k))
 
+    terms = sorted(
+        {t for _, ts, _ in ors for t in ts}
+        | {t for _, ts, _ in ands for t in ts}
+        | {t for _, ast, _ in full for t in ast_terms(ast)}
+    )
     if sum(1 for route in (ors, ands, full) if route) > 1:
-        terms = sorted(
-            {t for _, ts, _ in ors for t in ts}
-            | {t for _, ts, _ in ands for t in ts}
-            | {t for _, ast, _ in full for t in ast_terms(ast)}
-        )
         # one pruned scan, shared by every sub-engine (their own
         # term-IN filters become in-memory subsetting of this frame)
         blocks = blocks.filter(F.col("term").isin(terms)).localCheckpoint()
+
+    # one stats job + ONE dictionary-idf job for the whole batch; the
+    # sub-engines subset the map instead of re-collecting (round-4
+    # regression: their serial driver jobs, not scoring, dominated)
+    stats_row = stats.collect()[0]
+    idfs = query_idfs(dictionary, stats_row, terms)
 
     parts: list[DataFrame] = []
     if ors:
@@ -782,16 +796,21 @@ def boolean_topk(
             wand_topk(
                 spark, blocks, dictionary, stats, ors,
                 doc_filter=doc_filter, shard_span=shard_span,
+                stats_row=stats_row, idfs=idfs,
             )
         )
     if ands:
         parts.append(
-            and_topk(spark, blocks, dictionary, stats, ands, doc_filter=doc_filter)
+            and_topk(
+                spark, blocks, dictionary, stats, ands,
+                doc_filter=doc_filter, stats_row=stats_row, idfs=idfs,
+            )
         )
     if full:
         matches = boolean_matches_ast(
             spark, blocks, dictionary, stats, full,
             doc_filter=doc_filter, attrs=attrs,
+            stats_row=stats_row, idfs=idfs,
         )
         parts.append(topk(matches, {qid: k for qid, _, k in full}))
     if not parts:

@@ -37,6 +37,10 @@ from spcht_spark.index.compress import varbyte_decode
 from spcht_spark.index.query import TOPK_SCHEMA, query_idfs, topk
 from spcht_spark.oracle import B, K1
 
+# θ-cascade pays its two extra driver barriers only when the batch
+# actually decodes many blocks; below this it runs single-phase.
+_CASCADE_MIN_BLOCKS = 4096
+
 _CAND_SCHEMA = T.StructType(
     [
         T.StructField("query_id", T.StringType(), False),
@@ -267,6 +271,8 @@ def and_topk(
     stats: DataFrame,
     queries: list[tuple[str, list[str], int]],
     doc_filter: DataFrame | None = None,
+    stats_row=None,
+    idfs: dict[str, float] | None = None,
 ) -> DataFrame:
     """Conjunctive (Lucene MUST) top-k over the block index: per-shard
     intersection with block skipping + exact global merge. A query term
@@ -276,11 +282,18 @@ def and_topk(
     ``doc_filter`` (Solr fq): semi-join on the CANDIDATE rows before the
     final top-k — exact under AND semantics because the per-shard
     intersection scores every surviving doc exactly (no θ-dependent
-    pruning that an inadmissible doc could inflate)."""
-    stats_row = stats.collect()[0]
+    pruning that an inadmissible doc could inflate).
+
+    ``stats_row``/``idfs``: see :func:`wand_topk` — shared batch
+    precompute from the boolean router."""
+    if stats_row is None:
+        stats_row = stats.collect()[0]
     avgdl = float(stats_row["avgdl"])
     all_terms = sorted({t for _, ts, _ in queries for t in ts})
-    idfs = query_idfs(dictionary, stats_row, all_terms)
+    if idfs is None:
+        idfs = query_idfs(dictionary, stats_row, all_terms)
+    else:
+        idfs = {t: idfs[t] for t in all_terms if t in idfs}
     queries = [q for q in queries if all(t in idfs for t in q[1])]
     if not queries:
         return spark.createDataFrame([], schema=TOPK_SCHEMA)
@@ -316,6 +329,8 @@ def wand_topk(
     theta_cascade: bool = True,
     doc_filter: DataFrame | None = None,
     shard_span: int | None = None,
+    stats_row=None,
+    idfs: dict[str, float] | None = None,
 ) -> DataFrame:
     """Batch top-k via per-(query, shard) WAND + exact global merge.
 
@@ -337,11 +352,21 @@ def wand_topk(
     every remaining shard, so they prune from the first block instead
     of warming up their local heaps from -inf. At web scale this turns
     millions of cold per-shard loops into pre-pruned ones. Rank-safe
-    (see _wand_one_group) and rank-identity-tested in tests/test_wand."""
-    stats_row = stats.collect()[0]
+    (see _wand_one_group) and rank-identity-tested in tests/test_wand.
+
+    ``stats_row``/``idfs``: batch callers (boolean_topk's router) pass
+    the already-collected corpus stats and a term→idf map covering this
+    batch's terms, so the routed sub-engines don't each re-run the
+    stats/dictionary driver jobs — at page-of-10 scale those serial
+    collects, not the scoring, dominate the wall clock."""
+    if stats_row is None:
+        stats_row = stats.collect()[0]
     avgdl = float(stats_row["avgdl"])
     all_terms = sorted({t for _, ts, _ in queries for t in ts})
-    idfs = query_idfs(dictionary, stats_row, all_terms)
+    if idfs is None:
+        idfs = query_idfs(dictionary, stats_row, all_terms)
+    else:
+        idfs = {t: idfs[t] for t in all_terms if t in idfs}
     if not idfs:
         return spark.createDataFrame([], schema=TOPK_SCHEMA)
     ks = {qid: k for qid, _, k in queries}
@@ -412,10 +437,21 @@ def wand_topk(
     if theta_cascade:
         # Measured (BENCH.md): ~30% fewer block decodes on 2-term queries
         # once shards hold dozens of blocks per term; at a single shard
-        # the extra barrier is pure overhead — skip it. The distinct
-        # count runs over query-pruned block METADATA, not postings.
-        n_shards = hit.agg(F.countDistinct("shard")).collect()[0][0]
-        theta_cascade = bool(n_shards and n_shards > 1)
+        # the extra barrier is pure overhead — skip it. The probe runs
+        # over query-pruned block METADATA, not postings. The cascade
+        # also gates on batch SIZE (round-4 regression): its two extra
+        # barriers (seed checkpoint + θ collect) only pay once there is
+        # real decode work to prune — a page-of-10 batch touching a few
+        # hundred blocks finishes faster single-phase, while any
+        # web-scale query clears _CASCADE_MIN_BLOCKS instantly.
+        probe = hit.agg(
+            F.countDistinct("shard").alias("n_shards"),
+            F.count(F.lit(1)).alias("n_blocks"),
+        ).collect()[0]
+        theta_cascade = bool(
+            probe["n_shards"] and probe["n_shards"] > 1
+            and int(probe["n_blocks"]) >= _CASCADE_MIN_BLOCKS
+        )
     if not theta_cascade:
         cand = hit.groupBy("query_id", "shard").applyInPandas(
             runner({}), schema=_CAND_SCHEMA

@@ -143,3 +143,24 @@ def test_filtered_wand_only_admissible_docs(spark, small_index):
         unfiltered, on="doc_id", suffixes=("_f", "_u")
     )
     assert len(merged) and (merged["score_f"] == merged["score_u"]).all()
+
+
+def test_theta_cascade_rank_identical(spark, small_index, monkeypatch):
+    """The θ-cascade is size-gated (it only pays past _CASCADE_MIN_BLOCKS);
+    force it on a small index and pin rank identity vs the single-phase
+    path — the cascade must never change results, only skip decodes."""
+    import spcht_spark.index.wand as wand_mod
+
+    qs = [(qid, terms, 10) for qid, terms, _ in REFERENCE_QUERIES[:3]]
+    plain = wand_topk(
+        spark, small_index.blocks, small_index.dictionary,
+        small_index.stats, qs, theta_cascade=False,
+    ).collect()
+    monkeypatch.setattr(wand_mod, "_CASCADE_MIN_BLOCKS", 0)
+    forced = wand_topk(
+        spark, small_index.blocks, small_index.dictionary,
+        small_index.stats, qs, theta_cascade=True,
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(plain, key=key) == sorted(forced, key=key)
+    assert plain  # non-vacuous
