@@ -402,3 +402,30 @@ def test_stratum_quantiles_vs_pandas(spark, small_corpus):
         ["stratum", "q"]
     ).reset_index(drop=True)
     assert got["v"].values == pytest.approx(want["v"].values)
+
+
+def test_function_sort_nulls_last_both_directions(spark, small_index, small_corpus):
+    """ADVICE r4: a NULL sort value must come AFTER every real value in
+    BOTH directions (DuckDB's NULLS LAST default / Solr sortMissingLast)
+    — Spark's bare F.asc would put NULLs first."""
+    attrs = small_corpus.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, None)
+        .otherwise(F.length("content"))
+        .alias("n_chars"),
+    )
+    queries = [("fs_null", ["return"])]
+    for descending in (True, False):
+        out = function_sort_topk(
+            spark, small_index.blocks, queries, attrs,
+            "div(n_chars, 10)", k=10_000, descending=descending,
+        ).toPandas().sort_values("rank")
+        isnull = out["sort_v"].isna().tolist()
+        assert any(isnull), "fixture must produce NULL sort values"
+        first_null = isnull.index(True)
+        assert all(isnull[first_null:]), (
+            f"NULLs must be a contiguous tail (descending={descending})"
+        )
+        # NULL region itself ties by doc_id asc
+        tail = out.iloc[first_null:]["doc_id"].tolist()
+        assert tail == sorted(tail)
