@@ -106,11 +106,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--facet-query", nargs="*", default=[], metavar="NAME=Q",
                     help='named boolean facet queries counted over the '
                          'DocSet, e.g. "recent=year:[2020 TO *]"')
-    sp.add_argument("--facet-pivot", default=None, metavar="F1,F2",
-                    help="two-level pivot facet over attr fields")
+    sp.add_argument("--facet-pivot", default=None, metavar="F1,F2[,F3...]",
+                    help="pivot facet over attr fields, any depth")
     sp.add_argument("--group-field", default=None,
                     help="group results by this attr field (group=true)")
     sp.add_argument("--group-limit", type=int, default=1)
+    sp.add_argument("--group-ngroups", action="store_true",
+                    help="group.ngroups: total distinct-group count column")
     sp.add_argument("--stats-field", default=None)
     sp.add_argument("--hl", action="store_true")
     sp.add_argument("--hl-snippets", type=int, default=1,
@@ -256,11 +258,11 @@ def main(argv: list[str] | None = None) -> int:
 
         idx = load_index(spark, args.workdir)
         bad_fq = [s for s in args.facet_query if "=" not in s]
-        if bad_fq or (args.facet_pivot and "," not in args.facet_pivot):
+        if bad_fq or (args.facet_pivot is not None and not args.facet_pivot.strip(",")):
             msg = (
                 f"error: --facet-query entries need NAME=QUERY: {bad_fq}"
                 if bad_fq
-                else "error: --facet-pivot needs two fields: F1,F2"
+                else "error: --facet-pivot needs at least one field"
             )
             print(msg, file=sys.stderr)
             if owns_session:
@@ -368,10 +370,13 @@ def main(argv: list[str] | None = None) -> int:
                 facet_queries=dict(
                     s.split("=", 1) for s in args.facet_query
                 ) or None,
-                facet_pivot=tuple(args.facet_pivot.split(",", 1))
+                facet_pivot=tuple(
+                    f for f in args.facet_pivot.split(",") if f
+                )
                 if args.facet_pivot else None,
                 group_field=args.group_field,
                 group_limit=args.group_limit,
+                group_ngroups=args.group_ngroups,
                 stats_field=args.stats_field,
                 hl=args.hl,
                 hl_snippets=args.hl_snippets,

@@ -6,11 +6,12 @@ WorkOrder.py:693-707 builds exactly such conjunctions). This module
 parses that surface and answers it from the posting blocks:
 
 * ``parse_query`` — recursive-descent parser → tiny AST
-  (('term', t) | ('fuzzy', base, dist) | ('and', [..]) | ('or', [..]) |
+  (('term', t) | ('fuzzy', base, dist) | ('wild', pattern) |
+  ('and', [..]) | ('or', [..]) |
   ('not', x) | ('eq', field, value) | ('range', field, lo, hi)).
-  Fuzzy terms (``roam~2``) rewrite to their capped dictionary
-  expansion before execution (:func:`expand_fuzzy_ast`, Lucene
-  SCORING_BOOLEAN).
+  Fuzzy terms (``roam~2``) and wildcard terms (``te*t``, ``*ing``)
+  rewrite to their capped dictionary expansion before execution
+  (:func:`expand_fuzzy_asts`, Lucene SCORING_BOOLEAN).
   Precedence NOT > AND > OR; adjacency is implicit OR (Solr default op).
   ``field:value`` and ``field:[lo TO hi]`` clauses are the in-``q``
   metadata predicates Solr mixes with fulltext — the reference ANDs
@@ -52,6 +53,10 @@ _RANGE_RE = re.compile(r"^\[\s*(\S+)\s+TO\s+(\S+)\s*\]$", re.IGNORECASE)
 _BOOST_RE = re.compile(r"^([^\s:()^]+)\^(\d+(?:\.\d+)?)$")
 # Lucene fuzzy term: base~1 / base~2 (distance 0 would be a plain term)
 _FUZZY_Q_RE = re.compile(r"^([^\s:()^~]+)~([12])$")
+# Lucene wildcard term in q: contains * or ? plus at least one literal
+# char (a bare * is MatchAllDocs, which postings-driven retrieval
+# cannot answer — rejected at parse)
+_WILD_Q_RE = re.compile(r"^(?=.*[*?])(?=.*[^*?])[^\s:()^~]+$")
 
 
 class QueryParseError(ValueError):
@@ -137,6 +142,17 @@ def _fold_fn(analyzer: str | None):
 
 def _parse_tokens(toks: list[str], q: str, analyzer: str | None = None) -> Ast:
     fold = _fold_fn(analyzer)
+    # Wildcard patterns bypass analysis except case folding (Lucene
+    # multi-term query semantics: stop/stem never run on `te*t`, but
+    # lowercaseExpandedTerms applies when the chain folds case) — the
+    # dictionary the pattern expands against holds folded terms.
+    if analyzer is not None:
+        from spcht_spark.index.analyze import content_steps
+
+        _wild_low = "lowercase" in content_steps(analyzer)
+    else:
+        _wild_low = False
+    wild_fold = (lambda s: s.lower()) if _wild_low else (lambda s: s)
     pos = 0
 
     def peek() -> str | None:
@@ -161,6 +177,18 @@ def _parse_tokens(toks: list[str], q: str, analyzer: str | None = None) -> Ast:
                 break
             else:  # adjacency: implicit OR (Solr default operator)
                 parts.append(parse_and())
+        # Lucene '+clause' (MUST among SHOULDs): required clauses gate
+        # admissibility, bare siblings turn score-only. Desugars to
+        # AND(required..., OR(required..., optional...)) — each distinct
+        # positive term still scores once, exactly BooleanQuery's
+        # MUST/SHOULD contract. '+a OR b' is a parse error in Lucene
+        # too; here the marker simply binds the adjacency list.
+        req = [p[1] for p in parts if p[0] == "req"]
+        if req:
+            opt = [p for p in parts if p[0] != "req"]
+            if not opt:
+                return req[0] if len(req) == 1 else ("and", req)
+            return ("and", [*req, ("or", [*req, *opt])])
         return parts[0] if len(parts) == 1 else ("or", parts)
 
     def parse_and() -> Ast:
@@ -168,7 +196,10 @@ def _parse_tokens(toks: list[str], q: str, analyzer: str | None = None) -> Ast:
         while peek() is not None and peek().upper() == "AND":
             take()
             parts.append(parse_unary())
-        return parts[0] if len(parts) == 1 else ("and", parts)
+        if len(parts) == 1:
+            return parts[0]  # a lone '+clause' marker propagates to OR level
+        # explicit AND makes every clause MUST — '+' markers are redundant
+        return ("and", [p[1] if p[0] == "req" else p for p in parts])
 
     def parse_unary() -> Ast:
         t = peek()
@@ -177,6 +208,13 @@ def _parse_tokens(toks: list[str], q: str, analyzer: str | None = None) -> Ast:
         if t.upper() == "NOT":
             take()
             return ("not", parse_unary())
+        if t.startswith("+") and len(t) > 1:  # Lucene '+clause' (MUST)
+            take()
+            toks.insert(pos, t[1:])  # re-lex the body as its own token
+            inner = parse_unary()
+            if inner[0] == "req":  # '++a' — idempotent marker
+                inner = inner[1]
+            return ("req", inner)
         if t.startswith("-") and len(t) > 1:  # Lucene '-clause'
             take()
             body = t[1:]
@@ -189,6 +227,13 @@ def _parse_tokens(toks: list[str], q: str, analyzer: str | None = None) -> Ast:
             mf = _FUZZY_Q_RE.match(body)
             if mf:
                 return ("not", ("fuzzy", fold(mf.group(1)), int(mf.group(2))))
+            if "*" in body or "?" in body:
+                if not _WILD_Q_RE.match(body):
+                    raise QueryParseError(
+                        f"bare wildcard {body!r} in {q!r} — a match-all "
+                        "clause is not answerable from postings"
+                    )
+                return ("not", ("wild", wild_fold(body)))
             return ("not", ("term", fold(body)))
         if t == "(":
             take()
@@ -211,6 +256,14 @@ def _parse_tokens(toks: list[str], q: str, analyzer: str | None = None) -> Ast:
         if mf:  # Lucene fuzzy: base~1 / base~2 → dictionary expansion
             take()
             return ("fuzzy", fold(mf.group(1)), int(mf.group(2)))
+        if "*" in t or "?" in t:  # Lucene wildcard term → dictionary scan
+            take()
+            if not _WILD_Q_RE.match(t):
+                raise QueryParseError(
+                    f"bare wildcard {t!r} in {q!r} — a match-all clause "
+                    "is not answerable from postings"
+                )
+            return ("wild", wild_fold(t))
         return ("term", fold(take()))
 
     ast = parse_or()
@@ -223,7 +276,7 @@ def _attr_clauses(ast: Ast) -> list[Ast]:
     kind = ast[0]
     if kind in ("eq", "range"):
         return [ast]
-    if kind in ("term", "fuzzy"):
+    if kind in ("term", "fuzzy", "wild"):
         return []
     if kind == "not":
         return _attr_clauses(ast[1])
@@ -254,27 +307,45 @@ def expand_fuzzy_asts(
     fuzzy term with NO expansion becomes its (index-absent) base term,
     which matches nothing — exactly an unmatched plain term.
 
-    The fuzzy specs of the WHOLE BATCH feed one pruned dictionary pass
-    (round-4 VERDICT "What's wrong" #2: the per-query call made a batch
-    of F fuzzy queries cost F driver round-trips); fuzzy-free batches
-    never touch the dictionary."""
+    ``('wild', pattern)`` nodes (``te*t`` / ``*ing`` in q) expand the
+    same way through :func:`spcht_spark.index.prefix.expand_wildcards`
+    (anchored-regex dictionary scan, same maxExpansions discipline); a
+    pattern with no expansion becomes itself as an (index-absent) term.
+
+    The fuzzy/wildcard specs of the WHOLE BATCH feed one pruned
+    dictionary pass each (round-4 VERDICT "What's wrong" #2: the
+    per-query call made a batch of F fuzzy queries cost F driver
+    round-trips); batches without such nodes never touch the
+    dictionary."""
     from spcht_spark.index.fuzzy import expand_fuzzy
+    from spcht_spark.index.prefix import expand_wildcards
 
     specs: set[tuple[str, int]] = set()
+    wild: set[str] = set()
     for ast in asts:
         _collect_fuzzy_specs(ast, specs)
-    if not specs:
+        _collect_wild_patterns(ast, wild)
+    if not specs and not wild:
         return list(asts)
-    exp = expand_fuzzy(
-        dictionary, [f"{b}~{d}" for b, d in sorted(specs)], max_expansions
+    exp = (
+        expand_fuzzy(
+            dictionary, [f"{b}~{d}" for b, d in sorted(specs)], max_expansions
+        )
+        if specs
+        else {}
     )
+    wexp = expand_wildcards(dictionary, sorted(wild), max_expansions) if wild else {}
+
+    def flat_or(terms: list[str]) -> Ast:
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return ("or", [("term", t) for t in terms])
 
     def rewrite(a: Ast) -> Ast:
         if a[0] == "fuzzy":
-            terms = exp.get(f"{a[1]}~{a[2]}") or [a[1]]
-            if len(terms) == 1:
-                return ("term", terms[0])
-            return ("or", [("term", t) for t in terms])
+            return flat_or(exp.get(f"{a[1]}~{a[2]}") or [a[1]])
+        if a[0] == "wild":
+            return flat_or(wexp.get(a[1]) or [a[1]])
         if a[0] == "not":
             return ("not", rewrite(a[1]))
         if a[0] in ("and", "or"):
@@ -282,6 +353,16 @@ def expand_fuzzy_asts(
         return a
 
     return [rewrite(ast) for ast in asts]
+
+
+def _collect_wild_patterns(ast: Ast, out: set[str]) -> None:
+    if ast[0] == "wild":
+        out.add(ast[1])
+    elif ast[0] == "not":
+        _collect_wild_patterns(ast[1], out)
+    elif ast[0] in ("and", "or"):
+        for c in ast[1]:
+            _collect_wild_patterns(c, out)
 
 
 def expand_fuzzy_ast(
@@ -344,8 +425,8 @@ def _satisfiable_without_terms(ast: Ast) -> bool:
 
 def ast_terms(ast: Ast) -> set[str]:
     kind = ast[0]
-    if kind in ("term", "fuzzy"):  # fuzzy pre-expansion: its base
-        return {ast[1]}
+    if kind in ("term", "fuzzy", "wild"):  # pre-expansion: the base /
+        return {ast[1]}                    # pattern stands for the clause
     if kind in ("eq", "range"):
         return set()
     if kind == "not":
@@ -366,7 +447,7 @@ def term_boosts(ast: Ast) -> dict[str, float]:
 
     def walk(a: Ast, neg: bool) -> None:
         kind = a[0]
-        if kind == "fuzzy":
+        if kind in ("fuzzy", "wild"):
             return  # expands to unboosted terms
         if kind == "term":
             if neg:
@@ -391,7 +472,7 @@ def term_boosts(ast: Ast) -> dict[str, float]:
 def positive_terms(ast: Ast, neg: bool = False) -> set[str]:
     """Terms occurring in scoring (non-negated) position."""
     kind = ast[0]
-    if kind in ("term", "fuzzy"):
+    if kind in ("term", "fuzzy", "wild"):
         return set() if neg else {ast[1]}
     if kind in ("eq", "range"):
         return set()
@@ -433,11 +514,11 @@ def eval_ast(
     kind = ast[0]
     if kind == "term":
         return ast[1] in present
-    if kind == "fuzzy":
+    if kind in ("fuzzy", "wild"):
         # pre-expansion node: satisfied only via term presence (its
-        # base) — what the pure-negative check needs; execution paths
-        # always expand first (expand_fuzzy_ast), so scoring never
-        # evaluates a fuzzy node.
+        # base / pattern) — what the pure-negative check needs;
+        # execution paths always expand first (expand_fuzzy_asts), so
+        # scoring never evaluates a fuzzy/wild node.
         return ast[1] in present
     if kind in ("eq", "range"):
         return _attr(ast) if _attr is not None else _eval_attr(ast, attrs)

@@ -58,7 +58,8 @@ class SearchRequest:
                                              # [attr_cols]) to prune the
                                              # attrs join explicitly
     facet_queries: dict[str, str] | None = None  # facet.query=<boolean q>
-    facet_pivot: tuple[str, str] | None = None   # facet.pivot=f1,f2
+    facet_pivot: tuple[str, ...] | None = None   # facet.pivot=f1,f2,…
+                                             # (any depth; one ROLLUP pass)
     facet_prefix: str | None = None          # facet.prefix
     facet_missing: bool = False              # facet.missing
     facet_limit: int | None = None           # facet.limit
@@ -68,6 +69,8 @@ class SearchRequest:
                                              #  limit2[, metric_col])
     group_field: str | None = None           # group=true&group.field=f
     group_limit: int = 1                     # group.limit
+    group_ngroups: bool = False              # group.ngroups=true: total
+                                             # distinct-group count column
     stats_field: str | None = None           # stats.field
     hl: bool = False                         # highlight
     hl_window: int = 4
@@ -101,7 +104,7 @@ class SearchResponse:
     facets: DataFrame | None = None
     stats: DataFrame | None = None
     facet_query: DataFrame | None = None     # (query_id, facet, n)
-    pivot: DataFrame | None = None           # (query_id, value1, value2, n)
+    pivot: DataFrame | None = None           # (query_id, value1, …, n)
     json_facets: DataFrame | None = None     # (query_id, value1, n1,
                                              #  value2, n2[, m2])
     groups: DataFrame | None = None          # (query_id, grp_rank, grp,
@@ -279,10 +282,9 @@ def search(
     if request.facet_pivot:
         from spcht_spark.index.grouping import pivot_facets
 
-        f1, f2 = request.facet_pivot
         pivot_df = pivot_facets(
-            spark, index.blocks, [(query_id, terms)], attrs, f1, f2,
-            match=matches,
+            spark, index.blocks, [(query_id, terms)], attrs,
+            *request.facet_pivot, match=matches,
         )
     jf_df = None
     if request.json_facet:
@@ -355,6 +357,7 @@ def search(
         groups_df = group_scored(
             matches, attrs, request.group_field,
             {query_id: request.k}, request.group_limit,
+            ngroups=request.group_ngroups,
         )
     return SearchResponse(
         hits=hits, facets=facets_df, stats=stats_df,

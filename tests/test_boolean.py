@@ -356,3 +356,104 @@ def test_boolean_and_matches_and_topk(spark, small_index):
     assert [(r["doc_id"], r["score"]) for r in sorted(got, key=lambda r: r["rank"])] == [
         (r["doc_id"], r["score"]) for r in sorted(want, key=lambda r: r["rank"])
     ]
+
+
+# ------------------------------------------------- wildcards inside q
+
+def test_parse_wildcard_nodes_and_bare_rejection():
+    assert parse_query("spark AND te*t") == (
+        "and", [("term", "spark"), ("wild", "te*t")]
+    )
+    assert parse_query("a AND -w?d") == (
+        "and", [("term", "a"), ("not", ("wild", "w?d"))]
+    )
+    with pytest.raises(QueryParseError, match="bare wildcard"):
+        parse_query("spark AND *")
+    # wildcard patterns bypass stemming but keep case folding
+    assert parse_query("Te*T", analyzer="lowercase,stop,sstem") == (
+        "wild", "te*t"
+    )
+
+
+def test_wildcard_in_q_equals_hand_expanded_query(
+    spark, small_corpus_pd, small_index
+):
+    """`te*t` inside a boolean q must behave exactly like the flat OR
+    of its dictionary expansion (engine-vs-engine), and match the
+    pure-Python oracle of the hand-expanded string."""
+    from spcht_spark.index.prefix import expand_wildcards
+
+    exp = expand_wildcards(small_index.dictionary, ["*urn", "h*dler?"], 50)
+    assert exp["*urn"] and len(exp["h*dler?"]) > 1  # fixture must expand
+
+    cases = [
+        ("w_and", "*urn AND import",
+         f"({' OR '.join(exp['*urn'])}) AND import"),
+        ("w_not", "import AND NOT h*dler?",
+         f"import AND NOT ({' OR '.join(exp['h*dler?'])})"),
+    ]
+    args = (
+        small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+    )
+    got = boolean_topk(spark, *args, [(qid, q, 1000) for qid, q, _ in cases]).collect()
+    want = boolean_topk(spark, *args, [(qid, e, 1000) for qid, _, e in cases]).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    as_rows = lambda rs: [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+                          for r in sorted(rs, key=key)]
+    assert as_rows(got) == as_rows(want)
+    for qid, _, expanded in cases:
+        exp_py = _py_bool_topk(small_corpus_pd, expanded, 1000)
+        rows = [(r["doc_id"], r["score"]) for r in sorted(got, key=key)
+                if r["query_id"] == qid]
+        assert rows == exp_py, qid
+
+
+def test_wildcard_no_expansion_matches_nothing(spark, small_index):
+    got = boolean_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        [("w_none", "import AND zq*x", 10)],
+    ).collect()
+    assert got == []
+
+
+# ------------------------------------------------ Lucene '+' (MUST)
+
+def test_parse_plus_required_desugar():
+    """'+a b c' = a MUST, b/c SHOULD → AND(a, OR(a, b, c)): required
+    clauses gate admissibility, bare siblings turn score-only; each
+    distinct positive term still scores once (BooleanQuery contract)."""
+    assert parse_query("+a b c") == (
+        "and",
+        [("term", "a"), ("or", [("term", "a"), ("term", "b"), ("term", "c")])],
+    )
+    assert parse_query("+a +b c") == (
+        "and",
+        [("term", "a"), ("term", "b"),
+         ("or", [("term", "a"), ("term", "b"), ("term", "c")])],
+    )
+    assert parse_query("+a") == ("term", "a")
+    assert parse_query("+a +b") == ("and", [("term", "a"), ("term", "b")])
+    # explicit AND already makes every clause MUST — '+' is redundant
+    assert parse_query("+a AND b") == parse_query("a AND b")
+    assert parse_query("++a b") == parse_query("+a b")
+
+
+def test_plus_required_execution(spark, small_corpus_pd, small_index):
+    """Engine execution of '+return import': every hit contains
+    'return'; docs also containing 'import' outscore their
+    return-only twins; equals the pure-Python oracle."""
+    got = boolean_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        [("q_plus", "+return import", 1000)],
+    ).collect()
+    exp = _py_bool_topk(small_corpus_pd, "+return import", 1000)
+    rows = [(r["doc_id"], r["score"])
+            for r in sorted(got, key=lambda r: r["rank"])]
+    assert rows == exp
+    toks = {int(r.doc_id): set(tokenize_py(r.content))
+            for r in small_corpus_pd.itertuples()}
+    assert rows and all("return" in toks[d] for d, _ in rows)
+    assert any("import" in toks[d] for d, _ in rows)

@@ -144,3 +144,43 @@ def test_cli_search_verb(spark, tmp_path):
     assert cli_main(
         ["search", wd, "return", "--json-facet", "lang,repo,2"]
     ) == 2
+
+
+def test_deep_pivot_and_ngroups_in_one_request(
+    spark, small_corpus_pd, small_corpus, small_index
+):
+    """Round-5 facade additions: facet.pivot at depth 3 and
+    group.ngroups ride the same shared match pass."""
+    from pyspark.sql import functions as F
+
+    corpus3 = small_corpus.withColumn(
+        "band", (F.col("doc_id") % 2).cast("string")
+    )
+    resp = search(
+        spark, small_index, corpus3,
+        SearchRequest(
+            q=Q, k=3,
+            facet_pivot=("lang", "repo", "band"),
+            group_field="repo", group_limit=2, group_ngroups=True,
+        ),
+    )
+    expected = _match_set(small_corpus_pd, Q)
+    pdf = small_corpus_pd.set_index("doc_id")
+
+    piv = resp.pivot.collect()
+    assert {len(r) for r in piv} == {5}  # query_id, v1, v2, v3, n
+    # level-3 leaves sum up to their (v1, v2) subtotal rows
+    l2 = Counter()
+    sub2 = {}
+    for r in piv:
+        if r["value2"] == "*":
+            continue
+        if r["value3"] == "*":
+            sub2[(r["value1"], r["value2"])] = r["n"]
+        else:
+            l2[(r["value1"], r["value2"])] += r["n"]
+    assert dict(l2) == sub2 and sub2
+
+    grows = resp.groups.collect()
+    exp_ngroups = len({pdf.loc[d, "repo"] for d in expected})
+    assert grows and all(r["ngroups"] == exp_ngroups for r in grows)
