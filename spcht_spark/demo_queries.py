@@ -682,12 +682,39 @@ def q_index_boolean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_rounded(out)
 
 
-def _boolean_bm25_sql() -> str:
+def q_index_qop_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same boolean engine under Solr's ``q.op=AND``: bare
+    adjacency binds as MUST (``spark join`` ≡ ``spark AND join``),
+    explicit OR still separates, '-term' adjacency is Lucene's
+    ``+a -b``. One parse-time rewrite — execution reuses the routed
+    boolean paths unchanged."""
+    from spcht_spark.index.boolean import boolean_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    qs = [(qid, s, DOC_K + 5) for qid, s in DOC_QOP_QUERIES]
+    out = boolean_topk(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, qs,
+        default_op="AND",
+    )
+    return _rerank_rounded(out)
+
+
+DOC_QOP_QUERIES: list[tuple[str, str]] = [
+    ("qop_adj", "spark join"),
+    ("qop_mixed", "window stream OR batch"),
+    ("qop_neg", "join -hash"),
+]
+
+
+def _boolean_bm25_sql(
+    queries: list[tuple[str, str]] | None = None, default_op: str = "OR"
+) -> str:
     from spcht_spark.index.boolean import (
         ast_terms, ast_to_duckdb, parse_query, positive_terms,
     )
 
-    parsed = [(qid, parse_query(s)) for qid, s in DOC_BOOL_QUERIES]
+    parsed = [(qid, parse_query(s, default_op=default_op))
+              for qid, s in (queries or DOC_BOOL_QUERIES)]
     vals = ", ".join(
         f"('{qid}', '{t}', {str(t in positive_terms(ast)).upper()})"
         for qid, ast in parsed
@@ -3045,6 +3072,95 @@ FROM t
 """
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filters (top-n-gram char
+    fraction for n=2,3; duplicate-5-gram fraction) — one in-row
+    codegen'd projection, no per-doc shuffle."""
+    from spcht_spark.functions.text import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs, "text", "doc_id").select(
+        F.col("id").alias("doc_id"),
+        "top_2gram_frac", "top_3gram_frac", "dup_5gram_frac",
+    )
+
+
+def _repetition_sql() -> str:
+    # mode n-gram per doc (ties -> lexicographically smallest), char
+    # coverage = count * non-space chars of the gram / doc chars;
+    # dup fraction = 1 - distinct/total 5-grams. toks[i:i+n-1] is the
+    # DuckDB INCLUSIVE slice of n elements.
+    def top_cte(n: int, tag: str) -> str:
+        return f"""
+g{tag} AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+           i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS gram
+  FROM t),
+c{tag} AS (SELECT doc_id, gram, count(*) AS c FROM g{tag} GROUP BY doc_id, gram),
+r{tag} AS (
+  SELECT doc_id,
+         round(c * length(replace(gram, ' ', ''))::DOUBLE
+               / greatest(n_chars, 1), 4) AS frac,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+  FROM c{tag} JOIN t USING (doc_id))"""
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),{top_cte(2, "2")},{top_cte(3, "3")},
+d5 AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                        i -> array_to_string(toks[i:i+4], ' ')) AS grams
+  FROM t)
+SELECT t.doc_id,
+       coalesce(r2.frac, 0.0) AS top_2gram_frac,
+       coalesce(r3.frac, 0.0) AS top_3gram_frac,
+       CASE WHEN len(d5.grams) > 0
+            THEN round(1.0 - len(list_distinct(d5.grams))::DOUBLE / len(d5.grams), 4)
+            ELSE 0.0 END AS dup_5gram_frac
+FROM t
+LEFT JOIN (SELECT doc_id, frac FROM r2 WHERE rn = 1) r2 USING (doc_id)
+LEFT JOIN (SELECT doc_id, frac FROM r3 WHERE rn = 1) r3 USING (doc_id)
+JOIN d5 ON t.doc_id = d5.doc_id
+"""
+
+
+def q_shared_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document n-gram duplication (RefinedWeb/CCNet signal):
+    per doc, share of its distinct 5-grams held by >=1 other doc."""
+    from spcht_spark.functions.text import shared_ngram_share
+
+    docs = _t(spark, sf_dir, "documents")
+    return shared_ngram_share(docs, "text", "doc_id", n=5).select(
+        F.col("id").alias("doc_id"), "n_grams", "n_shared", "shared_frac"
+    )
+
+
+_SHARED_NGRAM_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 4, 0) + 1),
+           i -> array_to_string(toks[i:i+4], ' ')))) AS shingle
+  FROM t),
+cnt AS (SELECT shingle, count(*) AS holders FROM sh GROUP BY shingle)
+SELECT doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN holders > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+       round(sum(CASE WHEN holders > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / greatest(count(*), 1), 4) AS shared_frac
+FROM sh JOIN cnt USING (shingle)
+GROUP BY doc_id
+"""
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup clustering, oracled by its DECISIONS: the
     (id → component, keep) output must equal connected components over
@@ -3720,6 +3836,7 @@ _ALL_QUERIES = {
     "index_facet_topn": q_index_facet_topn,
     "index_boosted_topk": q_index_boosted_topk,
     "index_boolean_topk": q_index_boolean_topk,
+    "index_qop_and": q_index_qop_and,
     "index_cursor_pages": q_index_cursor_pages,
     "index_mlt": q_index_mlt,
     "index_highlight": q_index_highlight,
@@ -3783,6 +3900,8 @@ _ALL_QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "language_id": q_language_id,
     "token_stats": q_token_stats,
+    "repetition_signals": q_repetition_signals,
+    "shared_ngram_share": q_shared_ngram_share,
     "minhash_dedup": q_minhash_dedup,
     "minhash_dedup_bounded": q_minhash_dedup_bounded,
     "embedding_dedup": q_embedding_dedup,
@@ -3805,12 +3924,16 @@ _ALL_QUERIES = {
 # six pytest-parity-pinned pure-Catalyst ops rotate out to overflow.
 # Round 4 added 9 entries (tv/collate/funcsort/stats.facet/parent-join/
 # export/search-request + 2 sampling ops) and rotated 9 unchanged ops to
-# overflow (ADVICE r4: the old comment miscounted 6/6). Round 5 adds 4
-# (phrase-slop, wildcard, 3-level pivot, group.ngroups) and rotates out
-# explain/terms/mlt/collapse — their modules did not change this round
-# and they stay hard-gated in overflow.
+# overflow (ADVICE r4: the old comment miscounted 6/6). Round 5 adds 6
+# (phrase-slop, wildcard, 3-level pivot, group.ngroups, repetition
+# signals, shared-ngram share) and rotates out explain/terms/mlt/
+# collapse plus the two round-4 sampling ops — their modules did not
+# change this round and they stay hard-gated in overflow.
 DRIVER_GATE_CAP = 50
 OVERFLOW_QUERY_NAMES = [
+    "index_qop_and",
+    "stratified_sample",
+    "doclen_quantiles_strata",
     "index_explain",
     "index_terms_component",
     "index_mlt",
@@ -3869,6 +3992,7 @@ ORACLES = {
     "index_facet_topn": _facet_topn_sql(),
     "index_boosted_topk": _boosted_bm25_sql(),
     "index_boolean_topk": _boolean_bm25_sql(),
+    "index_qop_and": _boolean_bm25_sql(DOC_QOP_QUERIES, default_op="AND"),
     "index_cursor_pages": _cursor_pages_sql(),
     "index_mlt": _mlt_sql(),
     "index_highlight": _highlight_sql(),
@@ -3934,6 +4058,8 @@ ORACLES = {
     "ngram_jaccard_pairs": Q_NGRAM_JACCARD_SQL,
     "language_id": _langid_sql(),
     "token_stats": Q_TOKEN_STATS_SQL,
+    "repetition_signals": _repetition_sql(),
+    "shared_ngram_share": _SHARED_NGRAM_SQL,
     # The four formerly-rows-only ops, now oracled by decision or by
     # SQL-reproducible (md5) hashing:
     "minhash_dedup": Q_MINHASH_DEDUP_SQL,  # clusters vs exact-Jaccard CC

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spcht_spark.functions.dedup import tokens_col
+from spcht_spark.functions.dedup import ngram_shingles, tokens_col
 
 # Tiny stopword profiles for an n-gram-free heuristic language ID:
 # score(lang) = share of tokens in that language's stopword set.
@@ -124,4 +124,106 @@ def fingerprint(
     return df.select(
         F.col(id_col).alias("id"),
         F.array_min(win_hashes).alias("fingerprint"),
+    )
+
+
+def _grams_col(toks: Column, n: int) -> Column:
+    """Overlapping word n-grams of a token array (space-joined), [] when
+    the doc has fewer than n tokens."""
+    n_g = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        n_g > 0,
+        F.transform(F.sequence(F.lit(1), n_g), lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str, id_col: str, top_ns: tuple[int, ...] = (2, 3),
+    dup_ns: tuple[int, ...] = (5,),
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1 repetition filters), word-n-gram
+    based: for each n in ``top_ns`` the fraction of characters covered by
+    the single most frequent n-gram (``top_{n}gram_frac`` = count ×
+    non-space chars of the gram ÷ doc chars; ties break to the
+    lexicographically smallest gram), and for each n in ``dup_ns`` the
+    fraction of n-gram occurrences that are repeats
+    (``dup_{n}gram_frac`` = 1 − distinct/total).
+
+    Entirely in-row (array HOFs over a sorted gram array — the mode is a
+    run-length scan, no per-doc shuffle, no explode): the whole signal
+    set is ONE codegen'd projection over the corpus scan, which is the
+    only shape that survives 100 TB (an explode+groupBy per signal would
+    shuffle |tokens| rows per doc). Gap the reference outsources with the
+    rest of content analytics to Solr (Spcht feeds Solr full documents:
+    /root/reference/Spcht/Core/WorkOrder.py:600-607)."""
+    toks = tokens_col(text_col)
+    n_chars = F.greatest(F.length(text_col), F.lit(1))
+    cols = [F.col(id_col).alias("id")]
+    for n in top_ns:
+        grams = F.array_sort(_grams_col(toks, n))
+        # Run-length scan for the mode: sorted ascending + strict '>'
+        # means the first gram to reach the max run wins ⇒ ties resolve
+        # to the lexicographically smallest gram (deterministic, matches
+        # the oracle's ORDER BY c DESC, gram ASC).
+        init = F.struct(
+            F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"), F.lit("").alias("bestg"),
+        )
+        scan = F.aggregate(
+            grams,
+            init,
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+                F.when(
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)) > acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).cast("long"),
+                ).otherwise(acc["best"]).alias("best"),
+                F.when(
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)) > acc["best"], x
+                ).otherwise(acc["bestg"]).alias("bestg"),
+            ),
+        )
+        frac = (
+            scan["best"] * F.length(F.replace(scan["bestg"], F.lit(" "), F.lit("")))
+        ) / n_chars
+        cols.append(F.round(frac, 4).alias(f"top_{n}gram_frac"))
+    for n in dup_ns:
+        grams = _grams_col(toks, n)
+        total = F.size(grams)
+        frac = F.when(
+            total > 0,
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / total,
+        ).otherwise(F.lit(0.0))
+        cols.append(F.round(frac, 4).alias(f"dup_{n}gram_frac"))
+    return df.select(*cols)
+
+
+def shared_ngram_share(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """(id, n_grams, n_shared, shared_frac) — corpus-level n-gram
+    duplication (the RefinedWeb/CCNet cross-document signal): per doc,
+    the share of its DISTINCT word n-grams that also occur in at least
+    one OTHER document.
+
+    Scale shape: distinct shingles per doc (in-row, no shuffle) → ONE
+    groupBy(shingle) counting holder docs (each doc contributes a
+    shingle once, so count == n_docs) → join back on shingle — both
+    sides exit the same hash-partitioning, so AQE reuses the exchange —
+    → ONE groupBy(id) rollup. Never all-pairs, never per-doc jobs."""
+    sh = ngram_shingles(df, text_col, id_col, n)
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs_holding"))
+    per_doc = (
+        sh.join(counts, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_docs_holding") > 1).cast("long")).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "id", "n_grams", "n_shared",
+        F.round(F.col("n_shared") / F.greatest("n_grams", F.lit(1)), 4).alias("shared_frac"),
     )

@@ -327,3 +327,60 @@ def test_embedding_dedup_exact_duplicates_and_threshold(spark):
         ).collect()
     }
     assert got == {1: (1, True), 2: (1, False), 3: (3, True)}
+
+
+def test_repetition_signals_pinned(spark):
+    """Hand-computed Gopher repetition fractions, incl. a tie resolved
+    to the lexicographically smallest gram and a doc shorter than n."""
+    from spcht_spark.functions.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # "b c" x2 and "a b" x1, "c a" x1, "c b" x1... tokens:
+            # a b c b c  -> bigrams: "a b","b c","c b","b c"; mode "b c" x2
+            # chars: len("a b c b c")=9; gram chars (no space)=2
+            (1, "a b c b c"),
+            # every bigram unique, all count 1 -> tie -> smallest "a b"
+            (2, "a b c d"),
+            # shorter than 5 tokens -> dup_5gram 0; single token -> no bigram
+            (3, "solo"),
+            # 6 tokens all "x": 5-grams: 2 total, 1 distinct -> dup 0.5
+            (4, "x x x x x x"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["id"]: (r["top_2gram_frac"], r["top_3gram_frac"], r["dup_5gram_frac"])
+        for r in repetition_signals(docs, "text", "doc_id").collect()
+    }
+    assert got[1] == (round(2 * 2 / 9, 4), round(1 * 3 / 9, 4), 0.0)
+    # doc 2: mode bigram "a b" count 1, 2 chars / 7; trigram "a b c", 3/7
+    assert got[2] == (round(2 / 7, 4), round(3 / 7, 4), 0.0)
+    assert got[3] == (0.0, 0.0, 0.0)
+    # doc 4: bigram "x x" count 5, 2 chars / len("x x x x x x")=11
+    assert got[4] == (round(5 * 2 / 11, 4), round(4 * 3 / 11, 4), 0.5)
+
+
+def test_shared_ngram_share_pinned(spark):
+    """Cross-doc 3-gram sharing: identical docs share everything, a
+    disjoint doc shares nothing; within-doc duplicate grams count once."""
+    from spcht_spark.functions.text import shared_ngram_share
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: "a b c","b c d"
+            (2, "a b c d"),        # identical -> both shared
+            (3, "q r s t u"),      # disjoint -> 0 shared of 3
+            (4, "a b c a b c a"),  # grams incl "a b c" (shared), others not
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["id"]: (r["n_grams"], r["n_shared"], r["shared_frac"])
+        for r in shared_ngram_share(docs, "text", "doc_id", n=3).collect()
+    }
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (2, 2, 1.0)
+    assert got[3] == (3, 0, 0.0)
+    # doc 4 distinct 3-grams: "a b c","b c a","c a b" -> only "a b c" shared
+    assert got[4] == (3, 1, round(1 / 3, 4))
