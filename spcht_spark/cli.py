@@ -114,6 +114,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--group-ngroups", action="store_true",
                     help="group.ngroups: total distinct-group count column")
     sp.add_argument("--stats-field", default=None)
+    sp.add_argument("--q-op", choices=["OR", "AND"], default="OR",
+                    help="q.op: operator bare adjacency binds with")
     sp.add_argument("--hl", action="store_true")
     sp.add_argument("--hl-snippets", type=int, default=1,
                     help="hl.snippets: fragments per hit (>1 = multi)")
@@ -339,7 +341,8 @@ def main(argv: list[str] | None = None) -> int:
 
             try:
                 needs_store = bool(
-                    ast_attr_fields(parse_query(args.q, idx.analyzer))
+                    ast_attr_fields(parse_query(
+                        args.q, idx.analyzer, default_op=args.q_op))
                 )
             except QueryParseError as ex:
                 print(f"error: {ex}", file=sys.stderr)
@@ -363,7 +366,7 @@ def main(argv: list[str] | None = None) -> int:
         resp = search(
             spark, idx, store,
             SearchRequest(
-                q=args.q, k=args.k,
+                q=args.q, q_op=args.q_op, k=args.k,
                 fq=args.fq,
                 fl=args.fl,
                 facets={f: (F.col(f), [f]) for f in args.facet} or None,

@@ -91,7 +91,8 @@ def _attr_clause(field_name: str, val: str, q: str) -> Ast:
 
 
 def parse_query(
-    q: str, analyzer: str | None = None, require_positive: bool = True
+    q: str, analyzer: str | None = None, require_positive: bool = True,
+    default_op: str = "OR",
 ) -> Ast:
     """Parse a boolean query string. Raises QueryParseError on syntax
     errors and — when ``require_positive`` (the default) — on
@@ -108,8 +109,18 @@ def parse_query(
     terms exactly as the build folded content (Solr: the same analyzer
     chain runs at index and query time). Attribute field names/values
     (``lang:en``) are never folded — they address the doc-attribute
-    table, not the analyzed text."""
-    ast = _parse_tokens(_lex(q), q, analyzer)
+    table, not the analyzed text.
+
+    ``default_op`` is Solr's ``q.op``: the operator bare adjacency
+    binds with. ``"OR"`` (Solr's default) keeps adjacency = SHOULD;
+    ``"AND"`` makes every adjacency-joined run a MUST group.
+    Precedence stays NOT > AND = adjacency > OR, so ``a b OR c`` under
+    q.op=AND reads ``(a AND b) OR c`` — the coherent reading of
+    "default operator", without the classic Lucene QueryParser quirk
+    where OR-adjacent SHOULD clauses survive inside an AND default."""
+    if default_op not in ("OR", "AND"):
+        raise QueryParseError(f"q.op must be OR or AND, got {default_op!r}")
+    ast = _parse_tokens(_lex(q), q, analyzer, default_op)
     if require_positive and _satisfiable_without_terms(ast):
         raise QueryParseError(
             f"query {q!r} can match docs containing none of its fulltext "
@@ -140,7 +151,10 @@ def _fold_fn(analyzer: str | None):
     return fold
 
 
-def _parse_tokens(toks: list[str], q: str, analyzer: str | None = None) -> Ast:
+def _parse_tokens(
+    toks: list[str], q: str, analyzer: str | None = None,
+    default_op: str = "OR",
+) -> Ast:
     fold = _fold_fn(analyzer)
     # Wildcard patterns bypass analysis except case folding (Lucene
     # multi-term query semantics: stop/stem never run on `te*t`, but
@@ -166,17 +180,34 @@ def _parse_tokens(toks: list[str], q: str, analyzer: str | None = None) -> Ast:
 
     def parse_or() -> Ast:
         parts = [parse_and()]
+        seps: list[str] = []  # joiner BEFORE parts[i+1]: "or" | "adj"
         while True:
             t = peek()
             if t is None or t == ")":
                 break
             if t.upper() == "OR":
                 take()
+                seps.append("or")
                 parts.append(parse_and())
             elif t.upper() == "AND":
                 break
-            else:  # adjacency: implicit OR (Solr default operator)
+            else:  # adjacency: the q.op default operator (Solr: OR)
+                seps.append("adj")
                 parts.append(parse_and())
+        if default_op == "AND":
+            # q.op=AND: adjacency-joined runs become MUST groups;
+            # explicit OR still separates them. '+' markers are
+            # redundant under an AND default and simply unwrap.
+            groups: list[list[Ast]] = [[parts[0]]]
+            for sep, p in zip(seps, parts[1:]):
+                (groups[-1].append(p) if sep == "adj" else groups.append([p]))
+
+            def _and_group(g: list[Ast]) -> Ast:
+                g = [x[1] if x[0] == "req" else x for x in g]
+                return g[0] if len(g) == 1 else ("and", g)
+
+            gs = [_and_group(g) for g in groups]
+            return gs[0] if len(gs) == 1 else ("or", gs)
         # Lucene '+clause' (MUST among SHOULDs): required clauses gate
         # admissibility, bare siblings turn score-only. Desugars to
         # AND(required..., OR(required..., optional...)) — each distinct
@@ -614,6 +645,7 @@ def boolean_matches(
     attrs: DataFrame | None = None,
     analyzer: str | None = None,
     synonyms: dict[str, list[str]] | None = None,
+    default_op: str = "OR",
 ) -> DataFrame:
     """ALL admissible (query_id, doc_id, score) rows of a batch of
     boolean query strings — the full matching set, pre-top-k (what
@@ -637,7 +669,8 @@ def boolean_matches(
     predicates, the reference's `last_indexed:[t TO *]` pattern
     (WorkOrder.py:702-707). Attr clauses never score."""
     asts = expand_fuzzy_asts(
-        [expand_synonyms_ast(parse_query(qs, analyzer), synonyms or {})
+        [expand_synonyms_ast(
+            parse_query(qs, analyzer, default_op=default_op), synonyms or {})
          for _, qs, _ in queries],
         dictionary,
     )
@@ -809,6 +842,7 @@ def boolean_topk(
     shard_span: int | None = None,
     prune: bool = True,
     synonyms: dict[str, list[str]] | None = None,
+    default_op: str = "OR",
 ) -> DataFrame:
     """Top-k for a batch of boolean query strings.
 
@@ -836,7 +870,8 @@ def boolean_topk(
     from spcht_spark.index.wand import and_topk, wand_topk
 
     asts = expand_fuzzy_asts(
-        [expand_synonyms_ast(parse_query(qs, analyzer), synonyms or {})
+        [expand_synonyms_ast(
+            parse_query(qs, analyzer, default_op=default_op), synonyms or {})
          for _, qs, _ in queries],
         dictionary,
     )

@@ -46,6 +46,8 @@ class SearchRequest:
     plus the standard components)."""
 
     q: str                                   # boolean / free-form query
+    q_op: str = "OR"                         # q.op: operator bare adjacency
+                                             # binds with (OR | AND)
     k: int = 10                              # rows
     start: int = 0                           # offset paging (Solr start=N);
                                              # deep paging → index.cursor
@@ -135,7 +137,7 @@ def search(
     decoding the full matching set; components that genuinely need the
     whole DocSet (facets, stats) keep the full match pass and share it
     (one parsed query, one match pass — Solr's shared DocSet)."""
-    raw_ast = parse_query(request.q, index.analyzer)
+    raw_ast = parse_query(request.q, index.analyzer, default_op=request.q_op)
     ast = expand_fuzzy_ast(
         expand_synonyms_ast(raw_ast, request.synonyms or {}),
         index.dictionary,
@@ -182,6 +184,7 @@ def search(
             analyzer=index.analyzer,
             shard_span=index.shard_span,
             synonyms=request.synonyms,
+            default_op=request.q_op,
         )
     else:
         matches = boolean_matches(
@@ -195,6 +198,7 @@ def search(
             attrs=attrs,
             analyzer=index.analyzer,
             synonyms=request.synonyms,
+            default_op=request.q_op,
         )
         # one match pass feeds hits + facets + stats (Solr's shared DocSet)
         matches = matches.localCheckpoint(eager=False)

@@ -457,3 +457,68 @@ def test_plus_required_execution(spark, small_corpus_pd, small_index):
             for r in small_corpus_pd.itertuples()}
     assert rows and all("return" in toks[d] for d, _ in rows)
     assert any("import" in toks[d] for d, _ in rows)
+
+
+def test_parse_qop_and_default_operator():
+    """q.op=AND: bare adjacency binds as MUST; explicit OR still
+    separates; precedence NOT > AND = adjacency > OR."""
+    assert parse_query("a b", default_op="AND") == (
+        "and", [("term", "a"), ("term", "b")]
+    )
+    assert parse_query("a b OR c", default_op="AND") == (
+        "or", [("and", [("term", "a"), ("term", "b")]), ("term", "c")]
+    )
+    assert parse_query("a OR b c", default_op="AND") == (
+        "or", [("term", "a"), ("and", [("term", "b"), ("term", "c")])]
+    )
+    # '-clause' adjacency under AND is Solr's '+a -b'
+    assert parse_query("a -b", default_op="AND") == (
+        "and", [("term", "a"), ("not", ("term", "b"))]
+    )
+    # attr clause ANDs in — the reference's last_indexed pattern
+    assert parse_query("a lang:en", default_op="AND") == (
+        "and", [("term", "a"), ("eq", "lang", "en")]
+    )
+    # '+' markers are redundant under an AND default
+    assert parse_query("+a b", default_op="AND") == (
+        "and", [("term", "a"), ("term", "b")]
+    )
+    # single clause / explicit operators unchanged
+    assert parse_query("a", default_op="AND") == ("term", "a")
+    assert parse_query("a AND b OR c", default_op="AND") == parse_query(
+        "a AND b OR c"
+    )
+    with pytest.raises(QueryParseError):
+        parse_query("a b", default_op="XOR")
+
+
+def test_qop_and_execution_equals_explicit_and(spark, small_index):
+    """boolean_topk(default_op='AND') on 'return import' must produce
+    exactly the explicit 'return AND import' ranking (routed AND path),
+    and differ from the OR default."""
+    got_qop = boolean_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        [("q", "return import", 50)], default_op="AND",
+    ).collect()
+    got_and = boolean_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        [("q", "return AND import", 50)],
+    ).collect()
+    key = lambda rows: [(r["rank"], r["doc_id"], round(r["score"], 9))
+                        for r in sorted(rows, key=lambda r: r["rank"])]
+    assert key(got_qop) == key(got_and)
+    got_or = boolean_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        [("q", "return import", 100000)],
+    ).collect()
+    got_and_all = boolean_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        [("q", "return import", 100000)], default_op="AND",
+    ).collect()
+    or_docs = {r["doc_id"] for r in got_or}
+    and_docs = {r["doc_id"] for r in got_and_all}
+    assert and_docs < or_docs  # OR admits a strict superset
