@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from spcht_spark.index.compress import BLOCK_SIZE as _BLOCK_SIZE
 from spcht_spark.index.compress import varbyte_decode
 from spcht_spark.index.query import TOPK_SCHEMA, query_idfs, topk
 from spcht_spark.oracle import B, K1
@@ -433,30 +434,51 @@ def wand_topk(
         )
         return topk(cand, ks)
 
-    hit = hit.localCheckpoint(eager=False)  # reused by count + both phases
     if theta_cascade:
         # Measured (BENCH.md): ~30% fewer block decodes on 2-term queries
         # once shards hold dozens of blocks per term; at a single shard
-        # the extra barrier is pure overhead — skip it. The probe runs
-        # over query-pruned block METADATA, not postings. The cascade
+        # the extra barrier is pure overhead — skip it. The cascade
         # also gates on batch SIZE (round-4 regression): its two extra
         # barriers (seed checkpoint + θ collect) only pay once there is
-        # real decode work to prune — a page-of-10 batch touching a few
-        # hundred blocks finishes faster single-phase, while any
-        # web-scale query clears _CASCADE_MIN_BLOCKS instantly.
-        probe = hit.agg(
-            F.countDistinct("shard").alias("n_shards"),
-            F.count(F.lit(1)).alias("n_blocks"),
-        ).collect()[0]
-        theta_cascade = bool(
-            probe["n_shards"] and probe["n_shards"] > 1
-            and int(probe["n_blocks"]) >= _CASCADE_MIN_BLOCKS
-        )
+        # real decode work to prune. The gate is now ZERO driver jobs
+        # (round-5: the metadata-probe job itself was a measurable
+        # barrier in page-of-10 batches): df per term is recovered by
+        # inverting BM25 idf — idf = ln(1 + (N - df + .5)/(df + .5)) is
+        # monotone, so df = (N + .5(1 - x))/(1 + x) with x = e^idf - 1 —
+        # and Σ ceil(df/BLOCK_SIZE) LOWER-BOUNDS the pruned block count
+        # (splitting a term's postings across shards only adds blocks).
+        # Below the threshold the cascade is provably not worth it; any
+        # web-scale query clears the bound instantly and only then pays
+        # the exact probe for the >1-shard check.
+        n_docs = int(stats_row["n_docs"])
+        blocks_lo = 0
+        for qid, ts, _ in queries:
+            for t in set(ts):
+                if t not in idfs:  # index-absent term: no blocks
+                    continue
+                x = math.exp(idfs[t]) - 1.0
+                df_est = max(1.0, (n_docs + 0.5 * (1.0 - x)) / (1.0 + x))
+                blocks_lo += int(math.ceil(df_est / _BLOCK_SIZE))
+        theta_cascade = blocks_lo >= _CASCADE_MIN_BLOCKS
+        if theta_cascade:
+            probe = hit.agg(
+                F.countDistinct("shard").alias("n_shards"),
+                F.count(F.lit(1)).alias("n_blocks"),
+            ).collect()[0]
+            theta_cascade = bool(
+                probe["n_shards"] and probe["n_shards"] > 1
+                and int(probe["n_blocks"]) >= _CASCADE_MIN_BLOCKS
+            )
     if not theta_cascade:
         cand = hit.groupBy("query_id", "shard").applyInPandas(
             runner({}), schema=_CAND_SCHEMA
         )
         return topk(cand, ks)
+
+    # two-phase execution re-reads `hit` (seed wave, then the rest) —
+    # materialize it once; the single-phase path above stays a pure
+    # lazy plan (AQE coalesces its shuffles, no RDD conversion)
+    hit = hit.localCheckpoint(eager=False)
 
     # Phase 1 — seed: hottest shard per query (ties: lowest shard).
     from pyspark.sql import Window
