@@ -3731,6 +3731,157 @@ FROM ranked WHERE rank <= {_PARENT_K}
 """
 
 
+_CHILD_K = 12
+_CHILD_PARENTS = 3
+
+
+def q_index_child_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-join child query ({!child of=...}parentQuery, Lucene
+    ToChildBlockJoinQuery): expand the top parent entities of the
+    parent query to their member docs, each child carrying its
+    parent's score — a broadcast join of the k-sized ranked-parents
+    frame against the attrs table, salted two-stage child ranking."""
+    from spcht_spark.index.join import child_topk
+    from spcht_spark.index.query import exact_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    qs = [(qid, ts, 1_000_000) for qid, ts in DOC_QUERIES]
+    scored = exact_topk(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats, qs
+    ).select("query_id", "doc_id", "score")
+    out = child_topk(
+        scored, docs.select("doc_id", "source"), "source",
+        {qid: _CHILD_K for qid, _ in DOC_QUERIES},
+        parent_ks={qid: _CHILD_PARENTS for qid, _ in DOC_QUERIES},
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", "parent",
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _child_join_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  per_parent AS (
+    SELECT s.query_id, d.source AS parent, max(s.raw) AS raw
+    FROM scored s JOIN documents d USING (doc_id)
+    GROUP BY s.query_id, d.source),
+  top_parents AS (
+    SELECT query_id, parent, raw,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, parent)::INTEGER AS prank
+    FROM per_parent),
+  kids AS (
+    SELECT p.query_id, d.doc_id, p.parent, p.raw,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY round(p.raw, 6) DESC, p.parent,
+                                       d.doc_id)::INTEGER AS rank
+    FROM top_parents p JOIN documents d ON d.source = p.parent
+    WHERE p.prank <= {_CHILD_PARENTS})
+SELECT query_id, rank, doc_id, parent, round(raw, 4) AS score
+FROM kids WHERE rank <= {_CHILD_K}
+"""
+
+
+_DELETE_Q = "dup"  # delete every doc containing this term
+_DELETE_PROBES: list[tuple[str, list[str]]] = [
+    ("del_spark_join", ["spark", "join"]),
+    ("del_hot", ["join", "hash"]),
+]
+
+
+def q_index_delete_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr delete-by-query: resolve a boolean q to its matching doc
+    set (never collected — a (doc_id) frame flows into the delta
+    join), purge through the same update path as id-deletes, then
+    rank probe queries over the shrunken index — corpus stats, dfs,
+    doclens, and touched blocks all rebuilt (oracle recomputes BM25
+    from scratch over the surviving docs)."""
+    from spcht_spark.index.query import exact_topk
+    from spcht_spark.index.update import delete_by_query
+
+    idx = _persisted_index(spark, sf_dir)
+    idx2 = delete_by_query(
+        spark, idx, _DELETE_Q, tokenizer="ws",
+        shard_span=_INDEX_SHARD_SPAN,
+    )
+    qs = [(qid, ts, DOC_K) for qid, ts in _DELETE_PROBES]
+    out = exact_topk(
+        spark, idx2.blocks, idx2.doclens, idx2.dictionary, idx2.stats, qs
+    )
+    return _rerank_rounded(out)
+
+
+def _delete_query_sql() -> str:
+    vals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in _DELETE_PROBES for t in ts
+    )
+    return f"""
+WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+  gone AS (SELECT DISTINCT doc_id FROM tok0 WHERE term = '{_DELETE_Q}'),
+  tf AS (SELECT doc_id, term, count(*) AS tf
+         FROM tok0 WHERE term <> ''
+           AND doc_id NOT IN (SELECT doc_id FROM gone)
+         GROUP BY doc_id, term),
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  ranked AS (
+    SELECT query_id, doc_id, round(raw, 4) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 6) DESC, doc_id)::INTEGER AS rank
+    FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {DOC_K}
+"""
+
+
+_RTGET_IDS = [7, 3, 499, 123456, 42]  # one absent id: Solr omits it
+
+
+def q_index_rtget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /get (RealTimeGetHandler): stored fields for explicit ids,
+    no parsing, no scoring — an isin filter pushed to the doc-store
+    parquet scan plus fl column pruning; absent ids omitted."""
+    from spcht_spark.index.search import realtime_get
+
+    docs = _t(spark, sf_dir, "documents")
+    return realtime_get(docs, _RTGET_IDS, fl=["source", "lang", "n_chars"])
+
+
+def _rtget_sql() -> str:
+    ids = ", ".join(str(i) for i in _RTGET_IDS)
+    return f"""
+SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id IN ({ids})
+"""
+
+
 _EXPORT_QUERIES: list[tuple[str, list[str]]] = [
     ("ex_dup", ["dup"]),
     ("ex_spark", ["spark"]),
@@ -3871,6 +4022,9 @@ _ALL_QUERIES = {
     "index_funcsort": q_index_funcsort,
     "index_stats_facet": q_index_stats_facet,
     "index_parent_join": q_index_parent_join,
+    "index_child_join": q_index_child_join,
+    "index_delete_query": q_index_delete_query,
+    "index_rtget": q_index_rtget,
     "index_export": q_index_export,
     "term_stats": q_term_stats,
     "doclen_hist": q_doclen_hist,
@@ -3931,6 +4085,9 @@ _ALL_QUERIES = {
 # change this round and they stay hard-gated in overflow.
 DRIVER_GATE_CAP = 50
 OVERFLOW_QUERY_NAMES = [
+    "index_child_join",
+    "index_delete_query",
+    "index_rtget",
     "index_qop_and",
     "stratified_sample",
     "doclen_quantiles_strata",
@@ -4020,6 +4177,9 @@ ORACLES = {
     "index_funcsort": _funcsort_sql(),
     "index_stats_facet": _stats_facet_sql(),
     "index_parent_join": _parent_join_sql(),
+    "index_child_join": _child_join_sql(),
+    "index_delete_query": _delete_query_sql(),
+    "index_rtget": _rtget_sql(),
     "index_export": _export_sql(),
     "index_attr_query": _attr_query_sql(),
     "index_term_boosts": _term_boosts_sql(),

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from spcht_spark.index.boolean import ast_predicate, parse_filter_query
 
-__all__ = ["join_docs", "parent_topk"]
+__all__ = ["child_topk", "join_docs", "parent_topk"]
 
 
 def join_docs(
@@ -113,4 +113,60 @@ def parent_topk(
         pre.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k_map[F.col("query_id")])
         .select("query_id", "rank", "parent", "score", "n_children")
+    )
+
+
+def child_topk(
+    scored_children: DataFrame,
+    attrs: DataFrame,
+    parent_col: str,
+    ks: dict[str, int],
+    parent_ks: dict[str, int] | None = None,
+) -> DataFrame:
+    """Block-join child query — Lucene ToChildBlockJoinQuery / Solr
+    ``{!child of=...}parentQuery``: return the CHILD documents of the
+    parents matched by the parent query, every child carrying its
+    parent's score (Lucene's contract: child hits score as their
+    parent).
+
+    Composes with :func:`parent_topk`: the parent query ranks parent
+    entities (score=max over its matching children); the child query
+    then expands each surviving parent to ALL its member docs.  Spark
+    shape: the ranked-parents frame is k-sized, so the expansion is a
+    broadcast join against the doc-attribute table — one narrow scan,
+    no shuffle of the attrs side, no per-parent driver loop.  Children
+    rank by (parent score desc, parent asc, doc_id asc); ``ks`` caps
+    the page per query.
+
+    Reference capability: the Solr block-join surface behind the
+    reference's raw `q`/`fq` strings (WorkOrder.py:702-707); Lucene
+    semantics per ToChildBlockJoinQuery (parent score propagates).
+    """
+    parents = parent_topk(
+        scored_children, attrs, parent_col, parent_ks or ks
+    ).select("query_id", "parent", "score")
+    kids = attrs.select(
+        "doc_id", F.col(parent_col).cast("string").alias("parent")
+    ).join(F.broadcast(parents), "parent")
+    k_map = F.create_map(
+        *[x for q, k in sorted(ks.items()) for x in (F.lit(q), F.lit(k))]
+    )
+    order = (
+        F.desc(F.round("score", 6)), F.asc("parent"), F.asc("doc_id"),
+    )
+    # salted two-stage (engine-wide top-k discipline): a single parent
+    # may hold billions of children — the global window only ever sees
+    # ≤ 64·k pre-ranked rows per query, never the full expansion
+    w_salt = Window.partitionBy("query_id", "salt").orderBy(*order)
+    pre = (
+        kids.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+        .withColumn("r1", F.row_number().over(w_salt))
+        .filter(F.col("r1") <= k_map[F.col("query_id")])
+        .drop("salt", "r1")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_map[F.col("query_id")])
+        .select("query_id", "rank", "doc_id", "parent", "score")
     )

@@ -410,3 +410,40 @@ def _sorted_page(
         .filter(F.col("rank") <= n_fetch)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def realtime_get(
+    doc_store: DataFrame,
+    ids: list,
+    fl: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Solr ``/get?ids=...`` (RealTimeGetHandler): fetch stored fields
+    for explicit ids, bypassing query parsing and scoring entirely.
+
+    Solr serves /get from the update log to expose not-yet-committed
+    docs; this engine's doc store IS the committed table (an update via
+    apply_update swaps it atomically), so /get degenerates to a pruned
+    lookup: an ``isin`` filter over the id column — pushed to the
+    parquet scan as an IN predicate over a sorted/row-group-statted
+    column, so at 10^12 docs it touches only covering row groups, plus
+    column pruning to ``fl``.  Returns rows in the request's id order
+    (Solr contract), absent ids silently missing (Solr omits them).
+
+    Reference capability: the reference re-fetches individual records
+    by id between work-order stages (WorkOrder.py:875-942 delete/
+    re-insert loop addresses docs by id the same way)."""
+    cols = [id_col, *(fl or [])]
+    out = doc_store.select(*dict.fromkeys(cols)).filter(
+        F.col(id_col).isin(list(ids))
+    )
+    # request-order rank without a global sort: the id list is
+    # page-sized (Solr client contract), so the order map broadcasts
+    order_map = F.create_map(
+        *[x for i, d in enumerate(ids) for x in (F.lit(d), F.lit(i))]
+    )
+    return (
+        out.withColumn("_ord", order_map[F.col(id_col)])
+        .orderBy("_ord")
+        .drop("_ord")
+    )

@@ -296,3 +296,40 @@ def apply_update(
             json.dump(m, fh, indent=1, sort_keys=True)
         os.replace(tmp, manifest_path)
     return load_index(spark, workdir)
+
+
+def delete_by_query(
+    spark: SparkSession,
+    idx: IndexTables,
+    q: str,
+    attrs: DataFrame | None = None,
+    tokenizer: str = "arrow",
+    shard_span: int = DEFAULT_SHARD_SPAN,
+    block_size: int = BLOCK_SIZE,
+) -> IndexTables:
+    """Solr ``<delete><query>q</query></delete>`` — resolve the boolean
+    ``q`` (full engine language: terms, AND/OR/NOT, ``field:value`` /
+    ranges with ``attrs``) to its matching doc set and purge those docs
+    through the same delta path as id-deletes (:func:`update_index`
+    with an empty upsert batch), so corpus stats (N, avgdl), doclens,
+    dictionary dfs, and every touched (term, shard) block group rebuild
+    exactly as a from-scratch index without the docs would
+    (tests/test_index_update.py pins that bit-identity for deltas).
+
+    The matching set never collects to the driver: it flows as a
+    (doc_id) frame from :func:`~spcht_spark.index.boolean.
+    boolean_matches` straight into the delta join.  Reference
+    capability: Solr update handler delete-by-query, the maintenance
+    twin of the reference's delete-then-reinsert loop
+    (WorkOrder.py:875-942)."""
+    from spcht_spark.index.boolean import boolean_matches
+
+    matched = boolean_matches(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats,
+        [("dq", q, 0)], attrs=attrs, analyzer=idx.analyzer,
+    ).select("doc_id").distinct()
+    empty = spark.createDataFrame([], schema="doc_id long, content string")
+    return update_index(
+        spark, idx, empty, deleted=matched, tokenizer=tokenizer,
+        shard_span=shard_span, block_size=block_size,
+    )

@@ -195,3 +195,71 @@ def test_apply_update_persisted(spark, small_corpus, delta_setup, tmp_path):
     assert m["updates"][0]["changed"] == 50
     assert m["updates"][0]["deleted"] == 10
     assert not any(p.endswith(".new") for p in os.listdir(workdir))
+
+
+def test_delete_by_query_equals_rebuild(spark, small_corpus, small_index):
+    """delete_by_query('return AND import') must leave every index
+    table equal to a from-scratch build over the surviving docs —
+    including varbyte binaries (same delta path as id-deletes)."""
+    from spcht_spark.index.update import delete_by_query
+    from spcht_spark.oracle import tokenize_py
+
+    got = delete_by_query(
+        spark, small_index, "return AND import",
+        tokenizer="ws", shard_span=SPAN,
+    )
+    pdf = small_corpus.select("doc_id", "content").toPandas()
+    doomed = {
+        int(r.doc_id)
+        for r in pdf.itertuples()
+        if {"return", "import"} <= set(tokenize_py(r.content))
+    }
+    assert doomed, "probe query must match some docs"
+    survivors = small_corpus.filter(~F.col("doc_id").isin(list(doomed)))
+    full = build_index(spark, survivors, shard_span=SPAN)
+    _assert_tables_equal(full, got, skip=("tokens",))
+
+
+def test_child_topk_expands_top_parents(spark, small_index, small_corpus):
+    """Children of the top parent carry the parent's (max) score; every
+    returned doc belongs to a top-parent group; ranks are contiguous."""
+    from spcht_spark.index.join import child_topk, parent_topk
+    from spcht_spark.index.query import exact_topk
+
+    attrs = small_corpus.select("doc_id", "repo")
+    scored = exact_topk(
+        spark, small_index.blocks, small_index.doclens,
+        small_index.dictionary, small_index.stats,
+        [("q", ["return", "import"], 1_000_000)],
+    ).select("query_id", "doc_id", "score")
+    parents = {
+        r["parent"]: r["score"]
+        for r in parent_topk(scored, attrs, "repo", {"q": 2}).collect()
+    }
+    kids = child_topk(
+        scored, attrs, "repo", {"q": 50}, parent_ks={"q": 2}
+    ).collect()
+    assert kids
+    by_doc = {r["doc_id"]: r for r in kids}
+    members = {
+        int(r.doc_id): str(r.repo)
+        for r in small_corpus.select("doc_id", "repo").toPandas().itertuples()
+    }
+    for r in kids:
+        assert r["parent"] in parents            # only top parents expand
+        assert members[r["doc_id"]] == r["parent"]
+        assert r["score"] == pytest.approx(parents[r["parent"]])
+    ranks = sorted(r["rank"] for r in kids)
+    assert ranks == list(range(1, len(ranks) + 1))
+    assert len(by_doc) == len(kids)              # no doc twice
+
+
+def test_realtime_get_order_and_absent(spark, small_corpus):
+    """/get returns request order, omits absent ids, prunes to fl."""
+    from spcht_spark.index.search import realtime_get
+
+    out = realtime_get(
+        small_corpus, [5, 99999, 2, 11], fl=["repo"]
+    ).collect()
+    assert [r["doc_id"] for r in out] == [5, 2, 11]
+    assert out[0].asDict().keys() == {"doc_id", "repo"}
