@@ -3161,6 +3161,93 @@ GROUP BY doc_id
 """
 
 
+_BENCH_CUTOFF = 25  # doc_id < 25 plays the held-out benchmark set
+
+
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM protocol): flag corpus
+    docs sharing any word 5-gram with the benchmark set. Benchmark
+    shingles broadcast; the corpus is touched by one scan + one
+    groupBy(id) — corpus grams never shuffle against corpus grams."""
+    from spcht_spark.functions.text import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < _BENCH_CUTOFF)
+    corpus = docs.filter(F.col("doc_id") >= _BENCH_CUTOFF)
+    return ngram_contamination(corpus, bench, "text", "doc_id", n=5).select(
+        F.col("id").alias("doc_id"), "n_grams", "n_contaminated", "contaminated"
+    )
+
+
+_CONTAMINATION_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 4, 0) + 1),
+           i -> array_to_string(toks[i:i+4], ' ')))) AS shingle
+  FROM t),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {_BENCH_CUTOFF})
+SELECT s.doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_contaminated,
+       (sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0)
+         AS contaminated
+FROM sh s LEFT JOIN bench b USING (shingle)
+WHERE s.doc_id >= {_BENCH_CUTOFF}
+GROUP BY s.doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (emails / IPv4 / phone-like runs masked with
+    <PII:kind> tokens, per-kind counts) — one codegen'd projection of
+    chained regexp_replace, no shuffle. The synthetic docs carry no
+    PII, so the probe text is augmented deterministically from the
+    table's own columns (same expression in the oracle)."""
+    from spcht_spark.functions.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact "), F.col("source"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7 or +1 555 000 "),
+            (F.col("doc_id") % 10000).cast("string"),
+        ).alias("text"),
+    )
+    return scrub_pii(docs, "text", "doc_id").select(
+        F.col("id").alias("doc_id"),
+        "text_scrubbed", "n_email", "n_ipv4", "n_phone",
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from spcht_spark.functions.text import PII_PATTERNS
+
+    e, i4, ph = (p for _, p in PII_PATTERNS)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact ' || source || '@example.com via 10.0.' ||
+         (doc_id % 256)::VARCHAR || '.7 or +1 555 000 ' ||
+         (doc_id % 10000)::VARCHAR AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(
+    text, '{e}', '<PII:email>', 'g'), '{i4}', '<PII:ipv4>', 'g'),
+    '{ph}', '<PII:phone>', 'g') AS text_scrubbed,
+  len(regexp_extract_all(text, '{e}'))::INTEGER AS n_email,
+  len(regexp_extract_all(text, '{i4}'))::INTEGER AS n_ipv4,
+  len(regexp_extract_all(text, '{ph}'))::INTEGER AS n_phone
+FROM t
+"""
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup clustering, oracled by its DECISIONS: the
     (id → component, keep) output must equal connected components over
@@ -4056,6 +4143,8 @@ _ALL_QUERIES = {
     "token_stats": q_token_stats,
     "repetition_signals": q_repetition_signals,
     "shared_ngram_share": q_shared_ngram_share,
+    "ngram_contamination": q_ngram_contamination,
+    "pii_scrub": q_pii_scrub,
     "minhash_dedup": q_minhash_dedup,
     "minhash_dedup_bounded": q_minhash_dedup_bounded,
     "embedding_dedup": q_embedding_dedup,
@@ -4085,6 +4174,8 @@ _ALL_QUERIES = {
 # change this round and they stay hard-gated in overflow.
 DRIVER_GATE_CAP = 50
 OVERFLOW_QUERY_NAMES = [
+    "ngram_contamination",
+    "pii_scrub",
     "index_child_join",
     "index_delete_query",
     "index_rtget",
@@ -4220,6 +4311,8 @@ ORACLES = {
     "token_stats": Q_TOKEN_STATS_SQL,
     "repetition_signals": _repetition_sql(),
     "shared_ngram_share": _SHARED_NGRAM_SQL,
+    "ngram_contamination": _CONTAMINATION_SQL,
+    "pii_scrub": _pii_scrub_sql(),
     # The four formerly-rows-only ops, now oracled by decision or by
     # SQL-reproducible (md5) hashing:
     "minhash_dedup": Q_MINHASH_DEDUP_SQL,  # clusters vs exact-Jaccard CC

@@ -227,3 +227,86 @@ def shared_ngram_share(
         "id", "n_grams", "n_shared",
         F.round(F.col("n_shared") / F.greatest("n_grams", F.lit(1)), 4).alias("shared_frac"),
     )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """(id, n_grams, n_contaminated, contaminated) — benchmark
+    decontamination (the GPT-3/PaLM appendix protocol): a training doc
+    is contaminated when it shares at least one word n-gram with any
+    document of a held-out benchmark set.
+
+    Scale shape: the corpus side computes distinct n-grams IN-ROW (no
+    shuffle) and explodes once; the benchmark side — tiny by
+    definition (eval suites are KBs against a 100 TB corpus) — reduces
+    to a distinct-shingle frame that BROADCASTS into a left join, so
+    the corpus is touched by exactly one scan + one groupBy(id): no
+    shuffle of corpus grams against corpus grams, ever. Gap the
+    reference outsources with content analytics to Solr
+    (/root/reference/Spcht/Core/WorkOrder.py:600-607)."""
+    from spcht_spark.functions.dedup import ngram_shingles
+
+    doc_sh = ngram_shingles(df, text_col, id_col, n)
+    bench_sh = (
+        ngram_shingles(
+            bench, bench_text_col or text_col, bench_id_col or id_col, n
+        )
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    return per.select(
+        "id", "n_grams", "n_contaminated",
+        (F.col("n_contaminated") > 0).alias("contaminated"),
+    )
+
+
+# PII patterns kept RE2/Java-common (no backrefs, no lookaround) so the
+# same regex runs in Spark (Java), DuckDB (RE2) and Python verbatim.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, text_scrubbed, n_email, n_ipv4, n_phone) — masks emails,
+    IPv4 addresses and phone-like digit runs with ``<PII:kind>`` tokens
+    (the CCNet/Dolma-style scrub pass) and counts each kind BEFORE
+    scrubbing. Pure Catalyst: one codegen'd projection of chained
+    regexp_replace + regexp_count, no shuffle, no Python. Order is
+    fixed email → ipv4 → phone so a masked email's domain cannot
+    re-match as a phone-ish digit run."""
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_t"),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
+            for kind, pat in PII_PATTERNS
+        ],
+    )
+    scrubbed = F.col("_t")
+    for kind, pat in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<PII:{kind}>")
+    return out.select(
+        "id", scrubbed.alias("text_scrubbed"),
+        *[f"n_{kind}" for kind, _ in PII_PATTERNS],
+    )

@@ -384,3 +384,46 @@ def test_shared_ngram_share_pinned(spark):
     assert got[3] == (3, 0, 0.0)
     # doc 4 distinct 3-grams: "a b c","b c a","c a b" -> only "a b c" shared
     assert got[4] == (3, 1, round(1 / 3, 4))
+
+
+def test_ngram_contamination_pinned(spark):
+    """A doc sharing one 3-gram with the benchmark flags; a disjoint
+    doc does not; counts are over DISTINCT doc grams."""
+    from spcht_spark.functions.text import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [(10, "the quick brown fox jumps"),     # shares "quick brown fox"
+         (11, "totally different words here"),  # disjoint
+         (12, "the quick brown the quick brown fox")],  # dup grams count once
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(1, "a quick brown fox ran")], ["doc_id", "text"]
+    )
+    got = {
+        r["id"]: (r["n_grams"], r["n_contaminated"], r["contaminated"])
+        for r in ngram_contamination(
+            corpus, bench, "text", "doc_id", n=3
+        ).collect()
+    }
+    assert got[10] == (3, 1, True)
+    assert got[11] == (2, 0, False)
+    # doc 12 distinct 3-grams: "the quick brown","quick brown the",
+    # "brown the quick","quick brown fox" -> 4, 2 shared ("quick brown
+    # fox" and "the quick brown"? benchmark grams: "a quick brown",
+    # "quick brown fox","brown fox ran" -> only "quick brown fox")
+    assert got[12] == (4, 1, True)
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from spcht_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex.co.uk ip 10.0.0.1 tel +49 (30) 1234-5678"),
+         (2, "no pii at all")],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r.asDict() for r in scrub_pii(df, "text", "doc_id").collect()}
+    assert got[1]["text_scrubbed"] == "mail <PII:email> ip <PII:ipv4> tel <PII:phone>"
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 1, 1)
+    assert got[2]["text_scrubbed"] == "no pii at all"
