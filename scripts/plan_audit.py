@@ -122,6 +122,34 @@ AUDITS = {
         (r"BroadcastHashJoin|BroadcastExchange",
          "page term frame broadcast into the dictionary probe"),
     ],
+    "index_child_join": [
+        (r"PushedFilters: \[.*term",
+         "parent-query candidates from the term-pruned block scan"),
+        (r"BroadcastHashJoin|BroadcastExchange",
+         "k-sized ranked-parents frame broadcast into the attrs expansion"),
+        (r"Window", "salted two-stage child ranking"),
+    ],
+    "index_rtget": [
+        (r"PushedFilters: \[.*In\(doc_id",
+         "/get ids pushed to the doc-store scan as an IN predicate"),
+        (r"ReadSchema: struct<doc_id:bigint,lang:string,source:string,n_chars:bigint>",
+         "fl column pruning: only requested stored fields read (text never scanned)"),
+    ],
+    "repetition_signals": [
+        (r"ReadSchema: struct<doc_id:bigint,text:string>",
+         "column pruning: 2-col read"),
+        (r"^(?!.*Exchange hashpartitioning)",
+         "in-row signals: no per-doc shuffle in the plan"),
+    ],
+    "ngram_contamination": [
+        (r"BroadcastHashJoin|BroadcastExchange",
+         "benchmark shingles broadcast — corpus grams never shuffle vs corpus grams"),
+        (r"HashAggregate", "per-doc rollup partial-aggregates map-side"),
+    ],
+    "pii_scrub": [
+        (r"ReadSchema: struct<doc_id:bigint",
+         "column pruning to the scrub inputs"),
+    ],
 }
 
 
