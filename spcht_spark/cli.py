@@ -50,6 +50,36 @@ def _order_for(args):
     )
 
 
+def _parse_group_sort(spec: str | None):
+    """'n_chars desc' -> ("n_chars", True); bare field -> asc."""
+    if spec is None:
+        return None
+    parts = spec.split()
+    if len(parts) not in (1, 2) or (
+        len(parts) == 2 and parts[1] not in ("asc", "desc")
+    ):
+        raise SystemExit(f"error: --group-sort wants 'FIELD [asc|desc]', got {spec!r}")
+    return (parts[0], len(parts) == 2 and parts[1] == "desc")
+
+
+def _parse_facet_intervals(specs: list[str]):
+    """['n_chars=[0,500)', 'n_chars=[500,*]'] -> ("n_chars", [...]);
+    all entries must name the same field (one facet.interval per
+    request in this CLI)."""
+    if not specs:
+        return None
+    fields, sets = [], []
+    for s in specs:
+        if "=" not in s:
+            raise SystemExit(f"error: --facet-interval wants FIELD=[lo,hi), got {s!r}")
+        f, iv = s.split("=", 1)
+        fields.append(f)
+        sets.append(iv)
+    if len(set(fields)) != 1:
+        raise SystemExit("error: --facet-interval entries must share one field")
+    return (fields[0], sets)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="spcht_spark")
     p.add_argument("--cores", type=int, default=None)
@@ -113,6 +143,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--group-limit", type=int, default=1)
     sp.add_argument("--group-ngroups", action="store_true",
                     help="group.ngroups: total distinct-group count column")
+    sp.add_argument("--group-sort", default=None, metavar="FIELD [asc|desc]",
+                    help='group.sort: within-group doc order, e.g. '
+                         '"n_chars desc" (groups still rank by best doc)')
+    sp.add_argument("--facet-interval", action="append", default=[],
+                    metavar="FIELD=[lo,hi)",
+                    help="interval facet, repeatable: "
+                         '"n_chars=[0,500)" "n_chars=[500,*]"')
     sp.add_argument("--stats-field", default=None)
     sp.add_argument("--q-op", choices=["OR", "AND"], default="OR",
                     help="q.op: operator bare adjacency binds with")
@@ -328,6 +365,7 @@ def main(argv: list[str] | None = None) -> int:
             args.fl or args.facet or args.stats_field or args.hl or args.fq
             or args.facet_query or args.facet_pivot or args.group_field
             or json_facet or args.tv or sort or args.parent_field
+            or args.facet_interval
         )
         if not needs_store:
             # field:value / field:[lo TO hi] clauses inside q evaluate
@@ -380,6 +418,8 @@ def main(argv: list[str] | None = None) -> int:
                 group_field=args.group_field,
                 group_limit=args.group_limit,
                 group_ngroups=args.group_ngroups,
+                group_sort=_parse_group_sort(args.group_sort),
+                facet_interval=_parse_facet_intervals(args.facet_interval),
                 stats_field=args.stats_field,
                 hl=args.hl,
                 hl_snippets=args.hl_snippets,
@@ -410,6 +450,9 @@ def main(argv: list[str] | None = None) -> int:
         if resp.stats is not None:
             for r in resp.stats.collect():
                 print(json.dumps({"stats": r.asDict()}, default=str))
+        if resp.intervals is not None:
+            for r in resp.intervals.orderBy("interval").collect():
+                print(json.dumps({"interval": r.asDict()}, default=str))
         if resp.facet_query is not None:
             for r in resp.facet_query.orderBy("facet").collect():
                 print(json.dumps({"facet_query": r.asDict()}, default=str))

@@ -1564,6 +1564,108 @@ WHERE gr.grp_rank <= {_GROUP_K} AND m.doc_rank <= {_GROUP_LIMIT}
 """
 
 
+def q_index_group_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group.sort (Solr ``group=true&group.sort=n_chars asc``): docs
+    WITHIN each group ordered by an attr field (NULLS LAST), while the
+    groups still rank by their best doc under the main relevance sort
+    — Solr's sort/group.sort split, one window pass either way."""
+    from spcht_spark.index.grouping import group_topk
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    qs = [(qid, ts, _GROUP_K) for qid, ts in DOC_QUERIES]
+    return group_topk(
+        spark, idx.blocks, idx.doclens, idx.dictionary, idx.stats,
+        docs.select("doc_id", "lang", "n_chars"), "lang", qs,
+        group_limit=_GROUP_LIMIT, group_sort=("n_chars", False),
+    )
+
+
+def _group_sort_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+  stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  q(query_id, term) AS (VALUES {vals}),
+  scored AS (
+    SELECT q.query_id, tf.doc_id,
+           sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS raw
+    FROM q JOIN dft USING (term) JOIN tf USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id),
+  jg AS (SELECT s.query_id, s.doc_id, s.raw, d.lang::VARCHAR AS grp,
+                d.n_chars
+         FROM scored s JOIN documents d USING (doc_id)),
+  m AS (SELECT *,
+               row_number() OVER (PARTITION BY query_id, grp
+                                  ORDER BY n_chars ASC NULLS LAST, doc_id)
+                 AS doc_rank,
+               count(*) OVER (PARTITION BY query_id, grp) AS grp_n,
+               max(struct_pack(s := round(raw, 6), nd := -doc_id))
+                 OVER (PARTITION BY query_id, grp) AS best
+        FROM jg),
+  gr AS (SELECT query_id, grp,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY h_score DESC, h_doc) AS grp_rank
+         FROM (SELECT query_id, grp, best.s AS h_score,
+                      -best.nd AS h_doc
+               FROM m WHERE doc_rank = 1))
+SELECT m.query_id, gr.grp_rank::INTEGER AS grp_rank, m.grp,
+       m.grp_n::BIGINT AS grp_n, m.doc_rank::INTEGER AS doc_rank,
+       m.doc_id, round(m.raw, 4) AS score
+FROM m JOIN gr ON m.query_id = gr.query_id AND m.grp = gr.grp
+WHERE gr.grp_rank <= {_GROUP_K} AND m.doc_rank <= {_GROUP_LIMIT}
+"""
+
+
+_INTERVALS = ["[0,800)", "[800,1200)", "[1200,*]", "[*,1000]"]
+
+
+def q_index_interval_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval facets (Solr ``facet.interval=n_chars`` +
+    ``facet.interval.set=[0,800)``...): each — possibly OVERLAPPING —
+    interval counts matched docs whose value lies in it; one
+    conditional-sum partial-agg pass, no explode of the matched set."""
+    from spcht_spark.index.facets import interval_facets
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return interval_facets(
+        spark, idx.blocks, DOC_QUERIES, docs.select("doc_id", "n_chars"),
+        "n_chars", _INTERVALS,
+    )
+
+
+def _interval_facets_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    conds = {
+        "[0,800)": "v >= 0 AND v < 800",
+        "[800,1200)": "v >= 800 AND v < 1200",
+        "[1200,*]": "v >= 1200",
+        "[*,1000]": "v <= 1000",
+    }
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT AS \"{spec}\""
+        for spec, cond in conds.items()
+    )
+    unpivots = ", ".join(f"('{s}', \"{s}\")" for s in conds)
+    return f"""
+WITH {_TOK_SQL},
+  q(query_id, term) AS (VALUES {vals}),
+  m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+  j AS (SELECT m.query_id, d.n_chars::DOUBLE AS v
+        FROM m JOIN documents d USING (doc_id)),
+  wide AS (SELECT query_id, {sums} FROM j GROUP BY query_id)
+SELECT query_id, u.interval, u.n
+FROM wide, LATERAL (VALUES {unpivots}) AS u(interval, n)
+"""
+
+
 def q_index_pivot_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot facets (Solr ``facet.pivot=lang,source``): hierarchical
     counts over each query's matching set — per-(lang, source) leaves
@@ -4090,6 +4192,8 @@ _ALL_QUERIES = {
     "index_pivot_facets": q_index_pivot_facets,
     "index_pivot3": q_index_pivot3,
     "index_group_ngroups": q_index_group_ngroups,
+    "index_group_sort": q_index_group_sort,
+    "index_interval_facets": q_index_interval_facets,
     "index_facet_query": q_index_facet_query,
     "index_stats_field": q_index_stats_field,
     "index_suggest": q_index_suggest,
@@ -4174,6 +4278,8 @@ _ALL_QUERIES = {
 # change this round and they stay hard-gated in overflow.
 DRIVER_GATE_CAP = 50
 OVERFLOW_QUERY_NAMES = [
+    "index_group_sort",
+    "index_interval_facets",
     "ngram_contamination",
     "pii_scrub",
     "index_child_join",
@@ -4256,6 +4362,8 @@ ORACLES = {
     "index_pivot_facets": _pivot_facets_sql(),
     "index_pivot3": _pivot3_sql(),
     "index_group_ngroups": _group_ngroups_sql(),
+    "index_group_sort": _group_sort_sql(),
+    "index_interval_facets": _interval_facets_sql(),
     "index_facet_query": _facet_query_sql(),
     "index_stats_field": _stats_field_sql(),
     "index_suggest": _suggest_sql(),

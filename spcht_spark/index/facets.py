@@ -23,6 +23,8 @@ Spark-first shape (100 TB lens):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -314,4 +316,92 @@ def field_stats(
         F.max(field).cast("long").alias("max_v"),
         F.sum(field).cast("long").alias("sum_v"),
         (F.sum(field).cast("double") / F.count(F.lit(1))).alias("avg_v"),
+    )
+
+
+_INTERVAL_RE = re.compile(
+    r"^([\[\(])\s*([^,\s]+)\s*,\s*([^,\s\]\)]+)\s*([\]\)])$"
+)
+
+
+def parse_interval(spec: str) -> tuple[bool, str | None, str | None, bool]:
+    """Solr ``facet.interval.set`` syntax → (lo_closed, lo, hi,
+    hi_closed); ``*`` bounds open that end (returned as None).
+    ``[0,100)`` → (True, '0', '100', False)."""
+    m = _INTERVAL_RE.match(spec.strip())
+    if not m:
+        raise ValueError(f"malformed interval {spec!r} — expected [lo,hi)")
+    lo_c, lo, hi, hi_c = m.groups()
+    return (
+        lo_c == "[",
+        None if lo == "*" else lo,
+        None if hi == "*" else hi,
+        hi_c == "]",
+    )
+
+
+def interval_facets(
+    spark: SparkSession,
+    blocks: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    attrs: DataFrame,
+    field: str,
+    intervals: list[str],
+    doc_filter: DataFrame | None = None,
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, interval, n) — Solr IntervalFacets
+    (``facet.interval=<field>`` + ``facet.interval.set=[0,100)`` …):
+    each interval counts the matched docs whose field value lies in
+    it, bounds closed/open per bracket, ``*`` opening an end. Solr
+    evaluates every interval independently, so OVERLAPPING sets are
+    legal — which is why the plan is one conditional-sum aggregate per
+    interval inside a SINGLE partial-agg groupBy(query_id) pass (an
+    explode into interval rows would multiply the matched set by the
+    overlap factor before the shuffle; the conditional sums ship one
+    row per map task per query). Numeric comparison when every closed
+    bound parses as a number, else lexicographic — same coercion rule
+    as the in-q range clauses (boolean._attr_clause).
+
+    Reference capability: the stock Solr facet surface behind the
+    reference's request strings (WorkOrder.py:693-707)."""
+    if match is None:
+        match = matching_docs(spark, blocks, queries)
+    else:
+        match = match.select("query_id", "doc_id")
+    if doc_filter is not None:
+        match = match.join(doc_filter.select("doc_id"), "doc_id", "semi")
+    parsed = [(spec, parse_interval(spec)) for spec in intervals]
+    closed_bounds = [
+        b for _, (_, lo, hi, _) in parsed for b in (lo, hi) if b is not None
+    ]
+    numeric = True
+    try:
+        [float(b) for b in closed_bounds]
+    except ValueError:
+        numeric = False
+    val = F.col(field).cast("double") if numeric else F.col(field).cast("string")
+    j = match.join(attrs.select("doc_id", field), "doc_id")
+
+    def in_interval(lo_c: bool, lo, hi, hi_c: bool):
+        cond = val.isNotNull()
+        if lo is not None:
+            b = F.lit(float(lo)) if numeric else F.lit(lo)
+            cond = cond & (val >= b if lo_c else val > b)
+        if hi is not None:
+            b = F.lit(float(hi)) if numeric else F.lit(hi)
+            cond = cond & (val <= b if hi_c else val < b)
+        return cond
+
+    aggs = [
+        F.sum(in_interval(*iv).cast("long")).alias(spec)
+        for spec, iv in parsed
+    ]
+    wide = j.groupBy("query_id").agg(*aggs)
+    # unpivot the per-interval sums into (query_id, interval, n) rows —
+    # |intervals| is request-sized, so stack is a driver-side constant
+    pairs = ", ".join(f"'{s}', `{s}`" for s, _ in parsed)
+    return wide.selectExpr(
+        "query_id",
+        f"stack({len(parsed)}, {pairs}) as (interval, n)",
     )

@@ -58,6 +58,7 @@ def group_topk(
     queries: list[tuple[str, list[str], int]],
     group_limit: int = 1,
     ngroups: bool = False,
+    group_sort: tuple[str, bool] | None = None,
 ) -> DataFrame:
     """(query_id, grp_rank, grp, grp_n, doc_rank, doc_id, score):
     the top-k groups of each query — ranked by their best doc under
@@ -91,7 +92,7 @@ def group_topk(
     scores = score_postings(postings, idfs, avgdl, query_terms)
     return group_scored(
         scores, attrs, group_col, {qid: k for qid, _, k in queries},
-        group_limit, ngroups=ngroups,
+        group_limit, ngroups=ngroups, group_sort=group_sort,
     )
 
 
@@ -102,6 +103,7 @@ def group_scored(
     ks: dict[str, int],
     group_limit: int = 1,
     ngroups: bool = False,
+    group_sort: tuple[str, bool] | None = None,
 ) -> DataFrame:
     """Grouping core over a pre-scored (query_id, doc_id, score) frame
     — what :func:`group_topk` runs after BM25 scoring, and what the
@@ -111,27 +113,66 @@ def group_scored(
     ``ngroups`` counts distinct groups from the heads frame (one row
     per (query, group) already exists for group ranking) — an agg over
     group-cardinality rows plus a broadcast join, never a second pass
-    over the scored rows."""
+    over the scored rows.
+
+    ``group_sort`` is Solr's ``group.sort=<attr field> <asc|desc>``
+    (field, descending): it orders documents WITHIN each group, while
+    the groups themselves keep ranking by their best doc under the
+    main sort (relevance) — exactly Solr's split between ``sort`` and
+    ``group.sort``. NULL attr values order last in both directions
+    (sortMissingLast). Same single pass: the within-group window just
+    keys on the attr value, and the group head becomes a windowed
+    max(struct(score, -doc_id)) instead of the doc_rank-1 row."""
+    gcols = ["doc_id", F.col(group_col).cast("string").alias("grp")]
+    if group_sort is not None and group_sort[0] != group_col:
+        gcols.append(F.col(group_sort[0]).alias("_gs"))
+    elif group_sort is not None:
+        gcols.append(F.col(group_col).alias("_gs"))
     j = scored.select("query_id", "doc_id", "score").join(
-        attrs.select("doc_id", F.col(group_col).cast("string").alias("grp")),
-        "doc_id",
+        attrs.select(*gcols), "doc_id"
     )
-    order = (F.desc(F.round("score", 6)), F.asc("doc_id"))
+    if group_sort is None:
+        order = (F.desc(F.round("score", 6)), F.asc("doc_id"))
+    else:
+        order = (
+            F.desc_nulls_last("_gs") if group_sort[1] else F.asc_nulls_last("_gs"),
+            F.asc("doc_id"),
+        )
     w_grp = Window.partitionBy("query_id", "grp").orderBy(*order)
     w_grp_all = Window.partitionBy("query_id", "grp")
-    members = (
-        j.withColumn("doc_rank", F.row_number().over(w_grp))
-        .withColumn("grp_n", F.count(F.lit(1)).over(w_grp_all))
-        .filter(F.col("doc_rank") <= group_limit)
+    ranked = j.withColumn("doc_rank", F.row_number().over(w_grp)).withColumn(
+        "grp_n", F.count(F.lit(1)).over(w_grp_all)
     )
-    # Rank groups by their head doc: salt on grp so no reducer sees
-    # every group of a query, then the exact narrow window.
-    heads = members.filter(F.col("doc_rank") == 1).select(
-        "query_id",
-        "grp",
-        F.round("score", 6).alias("h_score"),
-        F.col("doc_id").alias("h_doc"),
-    )
+    # Rank groups by their best doc UNDER THE MAIN SORT (relevance):
+    # with group_sort the doc_rank-1 row is no longer that doc — the
+    # head is the windowed max(struct(score, -doc_id)), computed
+    # BEFORE the group_limit filter (the best-score doc may rank past
+    # group.limit in group.sort order and must still lead its group).
+    if group_sort is not None:
+        ranked = ranked.withColumn(
+            "_best",
+            F.max(
+                F.struct(
+                    F.round("score", 6).alias("s"),
+                    (-F.col("doc_id")).alias("nd"),
+                )
+            ).over(w_grp_all),
+        )
+    members = ranked.filter(F.col("doc_rank") <= group_limit)
+    if group_sort is None:
+        heads = members.filter(F.col("doc_rank") == 1).select(
+            "query_id",
+            "grp",
+            F.round("score", 6).alias("h_score"),
+            F.col("doc_id").alias("h_doc"),
+        )
+    else:
+        heads = members.filter(F.col("doc_rank") == 1).select(
+            "query_id",
+            "grp",
+            F.col("_best.s").alias("h_score"),
+            (-F.col("_best.nd")).alias("h_doc"),
+        )
     k_map = F.create_map(
         *[x for q, k in sorted(ks.items()) for x in (F.lit(q), F.lit(k))]
     )

@@ -71,6 +71,13 @@ class SearchRequest:
                                              #  limit2[, metric_col])
     group_field: str | None = None           # group=true&group.field=f
     group_limit: int = 1                     # group.limit
+    group_sort: tuple[str, bool] | None = None  # group.sort=<field> <dir>:
+                                             # within-group doc order
+                                             # ((field, descending));
+                                             # groups still rank by best
+                                             # doc under the main sort
+    facet_interval: tuple | None = None      # facet.interval:
+                                             # (field, ["[0,100)", ...])
     group_ngroups: bool = False              # group.ngroups=true: total
                                              # distinct-group count column
     stats_field: str | None = None           # stats.field
@@ -115,6 +122,7 @@ class SearchResponse:
     spellcheck: DataFrame | None = None      # (query_id, collation, hits)
     parents: DataFrame | None = None         # (query_id, rank, parent,
                                              #  score, n_children)
+    intervals: DataFrame | None = None       # (query_id, interval, n)
 
 
 def search(
@@ -160,6 +168,7 @@ def search(
         + bool(request.facets)
         + bool(request.stats_field)
         + bool(request.facet_queries)
+        + bool(request.facet_interval)
         + bool(request.facet_pivot)
         + bool(request.group_field)
         + bool(request.json_facet)
@@ -273,6 +282,15 @@ def search(
             spark, index.blocks, [(query_id, terms)], attrs,
             request.stats_field, match=matches, by=request.stats_facet,
         )
+    interval_df = None
+    if request.facet_interval:
+        from spcht_spark.index.facets import interval_facets
+
+        i_field, i_set = request.facet_interval
+        interval_df = interval_facets(
+            spark, index.blocks, [(query_id, terms)], attrs,
+            i_field, list(i_set), match=matches,
+        )
     fquery_df = None
     if request.facet_queries:
         from spcht_spark.index.grouping import facet_query_counts
@@ -362,12 +380,13 @@ def search(
             matches, attrs, request.group_field,
             {query_id: request.k}, request.group_limit,
             ngroups=request.group_ngroups,
+            group_sort=request.group_sort,
         )
     return SearchResponse(
         hits=hits, facets=facets_df, stats=stats_df,
         facet_query=fquery_df, pivot=pivot_df, groups=groups_df,
         json_facets=jf_df, term_vectors=tv_df, spellcheck=collate_df,
-        parents=parents_df,
+        parents=parents_df, intervals=interval_df,
     )
 
 

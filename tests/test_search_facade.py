@@ -184,3 +184,45 @@ def test_deep_pivot_and_ngroups_in_one_request(
     grows = resp.groups.collect()
     exp_ngroups = len({pdf.loc[d, "repo"] for d in expected})
     assert grows and all(r["ngroups"] == exp_ngroups for r in grows)
+
+
+def test_group_sort_and_interval_facets(
+    spark, small_corpus_pd, small_corpus, small_index
+):
+    """group.sort orders docs within groups by the attr (asc, NULLS
+    LAST) while groups still rank by best relevance doc; interval
+    facet counts match a hand count over the same admissible set."""
+    store = small_corpus.withColumn(
+        "n_lines", F.size(F.split("content", "\n"))
+    )
+    resp = search(
+        spark, small_index, store,
+        SearchRequest(
+            q="return import", k=3,
+            group_field="repo", group_limit=3,
+            group_sort=("n_lines", False),
+            facet_interval=("n_lines", ["[0,30)", "[30,*]", "[*,40]"]),
+        ),
+    )
+    groups = resp.groups.collect()
+    assert groups
+    lines = {
+        int(r.doc_id): len(r.content.split("\n"))
+        for r in small_corpus_pd.itertuples()
+    }
+    # within each group: n_lines ascending, doc_id tiebreak
+    bygrp = {}
+    for r in sorted(groups, key=lambda r: (r["grp"], r["doc_rank"])):
+        bygrp.setdefault(r["grp"], []).append(r["doc_id"])
+    for grp, ids in bygrp.items():
+        keys = [(lines[d], d) for d in ids]
+        assert keys == sorted(keys), (grp, keys)
+    # interval counts vs hand count over the same matching docs
+    matched = _match_set(small_corpus_pd, "return import")
+    want = {
+        "[0,30)": sum(1 for d in matched if lines[d] < 30),
+        "[30,*]": sum(1 for d in matched if lines[d] >= 30),
+        "[*,40]": sum(1 for d in matched if lines[d] <= 40),
+    }
+    got = {r["interval"]: r["n"] for r in resp.intervals.collect()}
+    assert got == want
