@@ -1900,6 +1900,37 @@ FROM j GROUP BY query_id
 _SUGGEST_TERMS = ["spakr", "jion", "windw", "customr", "zzzzzzzz"]
 
 
+_COMPLETE_PREFIXES = ["s", "w", "b", "jo", "zz"]  # multi-hit, single, absent
+
+
+def q_index_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suggester component (Solr /suggest): complete typed prefixes to
+    dictionary terms ranked by df (the FST-with-frequency-weights
+    twin); startswith prunes the sorted dictionary scan via row-group
+    stats, the prefix batch broadcasts."""
+    from spcht_spark.index.suggest import complete
+
+    idx = _persisted_index(spark, sf_dir)
+    return complete(spark, idx.dictionary, _COMPLETE_PREFIXES, top_n=5)
+
+
+def _complete_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in sorted(set(_COMPLETE_PREFIXES)))
+    return f"""
+WITH {_TOK_SQL},
+  dft AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+          FROM tf GROUP BY term),
+  p(prefix) AS (VALUES {vals}),
+  cand AS (
+    SELECT p.prefix, dft.term, dft.df,
+           row_number() OVER (PARTITION BY p.prefix
+                              ORDER BY dft.df DESC, dft.term)::INTEGER AS rank
+    FROM p JOIN dft ON starts_with(dft.term, p.prefix))
+SELECT prefix, rank, term AS suggestion, df AS weight
+FROM cand WHERE rank <= 5
+"""
+
+
 def q_index_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spellcheck suggestions (Solr spellcheck component): misspelled
     terms corrected from the index's own dictionary, ranked (edit
@@ -4197,6 +4228,7 @@ _ALL_QUERIES = {
     "index_facet_query": q_index_facet_query,
     "index_stats_field": q_index_stats_field,
     "index_suggest": q_index_suggest,
+    "index_complete": q_index_complete,
     "index_search_request": q_index_search_request,
     "index_attr_query": q_index_attr_query,
     "index_term_boosts": q_index_term_boosts,
@@ -4278,6 +4310,7 @@ _ALL_QUERIES = {
 # change this round and they stay hard-gated in overflow.
 DRIVER_GATE_CAP = 50
 OVERFLOW_QUERY_NAMES = [
+    "index_complete",
     "index_group_sort",
     "index_interval_facets",
     "ngram_contamination",
@@ -4367,6 +4400,7 @@ ORACLES = {
     "index_facet_query": _facet_query_sql(),
     "index_stats_field": _stats_field_sql(),
     "index_suggest": _suggest_sql(),
+    "index_complete": _complete_sql(),
     "index_search_request": _search_request_sql(),
     "index_term_vectors": _term_vectors_sql(),
     "index_hl_snippets": _hl_snippets_sql(),

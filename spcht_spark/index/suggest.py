@@ -235,3 +235,57 @@ def spellcheck_collate_q(
         "collation",
         F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
     )
+
+
+def complete(
+    spark: SparkSession,
+    dictionary: DataFrame,
+    prefixes: list[str],
+    top_n: int = 5,
+    min_chars: int = 1,
+) -> DataFrame:
+    """(prefix, rank, suggestion, weight) — the Suggester component
+    (Solr /suggest, distinct from spellcheck): COMPLETE a typed prefix
+    to full dictionary terms, ranked by weight. Lucene backs this with
+    an FST (AnalyzingSuggester / FreeTextSuggester) weighted by term
+    frequency; the Spark-first twin ranks by the dictionary's df
+    (weight desc, term asc — deterministic, SQL-portable) over a
+    STARTSWITH-pruned dictionary scan.
+
+    The scan stays narrow at any scale: ``startswith`` on the sorted
+    term column prunes parquet row groups by min/max stats exactly
+    like the prefix-query path (index/prefix.py); the prefix batch is
+    a broadcast literal join; per-prefix top-n is a window over
+    candidate rows only. Exact whole-term hits count as their own
+    completion (Solr returns them; weight still ranks).
+
+    Reference capability: the /suggest handler of the cores the
+    reference queries (WorkOrder.py:693)."""
+    ps = sorted({p for p in prefixes if len(p) >= min_chars})
+    if not ps:
+        return spark.createDataFrame(
+            [], schema="prefix string, rank int, suggestion string, weight long"
+        )
+    pdf = spark.createDataFrame([(p,) for p in ps], ["prefix"])
+    # one disjunctive pushdown predicate for the whole batch keeps the
+    # dictionary scan pruned before the broadcast-join fan-out
+    pushed = None
+    for p in ps:
+        c = F.col("term").startswith(p)
+        pushed = c if pushed is None else (pushed | c)
+    cand = (
+        dictionary.select("term", "df")
+        .filter(pushed)
+        .join(F.broadcast(pdf), F.col("term").startswith(F.col("prefix")))
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.desc("df"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "prefix", "rank", F.col("term").alias("suggestion"),
+            F.col("df").alias("weight"),
+        )
+    )

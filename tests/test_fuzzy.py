@@ -74,3 +74,27 @@ def test_fuzzy_in_boolean_q(spark, small_index):
     key = lambda rows: sorted((r["rank"], r["doc_id"], r["score"]) for r in rows)
     assert key(got) == key(want)
     assert got, "expected matches for whle~1 AND return"
+
+
+def test_complete_prefix_suggester(spark, small_index):
+    """/suggest completion: df-desc rank, top_n cap, absent prefix
+    empty, short prefixes filtered by min_chars."""
+    from spcht_spark.index.suggest import complete
+
+    pdf = small_index.dictionary.select("term", "df").toPandas()
+    got = complete(
+        spark, small_index.dictionary, ["re", "zzzz", "r"],
+        top_n=3, min_chars=2,
+    ).collect()
+    by_pref = {}
+    for r in sorted(got, key=lambda r: (r["prefix"], r["rank"])):
+        by_pref.setdefault(r["prefix"], []).append(
+            (r["suggestion"], r["weight"])
+        )
+    assert "zzzz" not in by_pref           # absent prefix: no rows
+    assert "r" not in by_pref              # below min_chars: dropped
+    want = sorted(
+        ((t, int(d)) for t, d in zip(pdf.term, pdf.df) if t.startswith("re")),
+        key=lambda td: (-td[1], td[0]),
+    )[:3]
+    assert by_pref.get("re", []) == want
