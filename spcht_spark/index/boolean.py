@@ -238,7 +238,10 @@ def _parse_tokens(
             raise QueryParseError(f"unexpected end of query: {q!r}")
         if t.upper() == "NOT":
             take()
-            return ("not", parse_unary())
+            inner = parse_unary()
+            if inner[0] == "req":  # 'NOT +a': no OR-level to bind — the
+                inner = inner[1]   # MUST marker is vacuous under NOT
+            return ("not", inner)
         if t.startswith("+") and len(t) > 1:  # Lucene '+clause' (MUST)
             take()
             toks.insert(pos, t[1:])  # re-lex the body as its own token

@@ -93,3 +93,52 @@ def test_parser_never_crashes(tokens):
 def test_varbyte_roundtrip_property(xs):
     arr = np.array(xs, dtype=np.uint64)
     assert np.array_equal(varbyte_decode(varbyte_encode(arr)), arr)
+
+
+@given(st.lists(st.sampled_from(
+    TERMS + ["AND", "OR", "NOT", "(", ")", "-beta", "+alpha", "ga*",
+             "?lpha", "eps~1", "x:y", "n:[1 TO 2]"]),
+    max_size=8))
+@settings(max_examples=300, deadline=None)
+def test_parser_never_crashes_extended_surface(tokens):
+    """Token soup over the FULL round-5 surface (MUST markers,
+    wildcards, fuzzy, attr clauses) either parses or raises
+    QueryParseError under BOTH default operators — never any other
+    exception."""
+    q = " ".join(tokens)
+    for op in ("OR", "AND"):
+        try:
+            parse_query(q, default_op=op)
+        except QueryParseError:
+            pass
+
+
+@given(ast_st())
+@settings(max_examples=200, deadline=None)
+def test_qop_and_equals_explicit_and_render(ast):
+    """For any AST, rendering with explicit operators parses to the
+    same semantics under q.op=OR and q.op=AND — explicit operators
+    leave no adjacency for the default op to bind."""
+    q = render(ast)
+    matches_empty = eval_ast(ast, frozenset())
+    try:
+        p_or = parse_query(q, default_op="OR")
+        p_and = parse_query(q, default_op="AND")
+    except QueryParseError:
+        assert matches_empty, q
+        return
+    vocab = sorted(ast_terms(ast))
+    for mask in range(1 << len(vocab)):
+        present = frozenset(t for i, t in enumerate(vocab) if mask >> i & 1)
+        assert eval_ast(p_or, present) == eval_ast(p_and, present), (q, present)
+
+
+@given(st.lists(terms_st, min_size=2, max_size=4, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_qop_and_adjacency_is_conjunction(ts):
+    """'a b c' under q.op=AND evaluates exactly as 'a AND b AND c'."""
+    adj = parse_query(" ".join(ts), default_op="AND")
+    conj = parse_query(" AND ".join(ts))
+    for mask in range(1 << len(ts)):
+        present = frozenset(t for i, t in enumerate(ts) if mask >> i & 1)
+        assert eval_ast(adj, present) == eval_ast(conj, present), (ts, present)
