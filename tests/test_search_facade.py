@@ -136,6 +136,25 @@ def test_cli_search_verb(spark, tmp_path):
         "--json-facet", "lang,repo,2,2",
     ])
     assert rc == 0
+    # round-5 flags: q.op, group.sort, interval facets in one request
+    rc = cli_main([
+        "search", wd, "return import", "-k", "5", "--q-op", "AND",
+        "--doc-store", corpus_path,
+        "--group-field", "repo", "--group-limit", "2",
+        "--group-sort", "path asc",
+        "--facet-interval", "doc_id=[0,60)", "--facet-interval", "doc_id=[60,*]",
+    ])
+    assert rc == 0
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        cli_main(["search", wd, "return", "--doc-store", corpus_path,
+                  "--group-field", "repo", "--group-sort", "path sideways"])
+    with _pytest.raises(SystemExit):
+        cli_main(["search", wd, "return", "--doc-store", corpus_path,
+                  "--facet-interval", "oops-no-equals"])
+    with _pytest.raises(SystemExit):
+        cli_main(["search", wd, "return", "--doc-store", corpus_path,
+                  "--facet-interval", "a=[0,1)", "--facet-interval", "b=[0,1)"])
     # malformed component specs exit 2 with a friendly message
     assert cli_main(["search", wd, "return", "--facet-query", "oops"]) == 2
     assert cli_main(["search", wd, "return", "--facet-pivot", "lang"]) == 2
