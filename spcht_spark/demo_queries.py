@@ -3951,6 +3951,47 @@ FROM ranked WHERE rank <= {_PARENT_K}
 """
 
 
+_PERC_QUERIES: list[tuple[str, str]] = [
+    ("p_sj", "spark AND join"),
+    ("p_route", "(window OR stream) AND -hash"),
+    ("p_nospark", "NOT spark"),                      # pure-negative: legal here
+    ("p_big_en", "lang:en AND n_chars:[900 TO *]"),  # attr-only routing
+    ("p_req", "+join batch"),
+]
+
+
+def q_index_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator (Elasticsearch percolate; the inverse of search):
+    standing boolean queries evaluated per document — one codegen'd
+    projection over the doc scan, no index, no shuffle; pure-negative
+    and attr-only queries are legal because the doc is in hand."""
+    from spcht_spark.index.percolate import percolate
+
+    docs = _t(spark, sf_dir, "documents")
+    return percolate(docs, _PERC_QUERIES, text_col="text", id_col="doc_id")
+
+
+def _percolate_sql() -> str:
+    from spcht_spark.index.boolean import ast_to_duckdb, parse_query
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{qid}' AS query_id FROM t WHERE "
+        + ast_to_duckdb(
+            parse_query(qs, require_positive=False),
+            terms_expr="terms", attr_prefix="t.",
+        )
+        for qid, qs in _PERC_QUERIES
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(list_filter(
+           string_split_regex(text, '\\s+'), x -> x <> '')) AS terms
+  FROM documents)
+{arms}
+"""
+
+
 _CHILD_K = 12
 _CHILD_PARENTS = 3
 
@@ -4248,6 +4289,7 @@ _ALL_QUERIES = {
     "index_child_join": q_index_child_join,
     "index_delete_query": q_index_delete_query,
     "index_rtget": q_index_rtget,
+    "index_percolate": q_index_percolate,
     "index_export": q_index_export,
     "term_stats": q_term_stats,
     "doclen_hist": q_doclen_hist,
@@ -4310,6 +4352,7 @@ _ALL_QUERIES = {
 # change this round and they stay hard-gated in overflow.
 DRIVER_GATE_CAP = 50
 OVERFLOW_QUERY_NAMES = [
+    "index_percolate",
     "index_complete",
     "index_group_sort",
     "index_interval_facets",
@@ -4413,6 +4456,7 @@ ORACLES = {
     "index_child_join": _child_join_sql(),
     "index_delete_query": _delete_query_sql(),
     "index_rtget": _rtget_sql(),
+    "index_percolate": _percolate_sql(),
     "index_export": _export_sql(),
     "index_attr_query": _attr_query_sql(),
     "index_term_boosts": _term_boosts_sql(),

@@ -112,3 +112,74 @@ def test_stream_index_updates_equals_full_rebuild(spark, small_corpus, tmp_path)
         m = json.load(fh)
     runs = [u["run_id"] for u in m["updates"]]
     assert runs == ["stream-batch-0", "stream-batch-1"]
+
+
+PERC_QS = [
+    ("sq_ri", "return AND import"),
+    ("sq_not", "NOT return"),
+    ("sq_mix", "(if OR else) AND -while"),
+]
+
+
+def test_percolate_stream_equals_batch(spark, small_corpus, tmp_path):
+    """Percolation is a stateless projection: the same standing-query
+    set over a file stream (2 micro-batches) emits exactly the batch
+    percolate's (doc_id, query_id) set."""
+    from spcht_spark.index.percolate import percolate, percolate_stream
+
+    docs = small_corpus.filter(F.col("doc_id") < 80).select("doc_id", "content")
+    want = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate(docs, PERC_QS).collect()
+    }
+    assert want and any(q == "sq_not" for _, q in want)  # negatives legal
+
+    feed = tmp_path / "pfeed"
+    feed.mkdir()
+    rows = docs.collect()
+    for i, half in enumerate((rows[:40], rows[40:])):
+        with open(feed / f"b{i}.json", "w") as fh:
+            fh.write("\n".join(
+                json.dumps({"doc_id": r["doc_id"], "content": r["content"]})
+                for r in half
+            ))
+    stream = (
+        spark.readStream.schema("doc_id long, content string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    out = percolate_stream(stream, PERC_QS)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("perc_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in spark.sql("SELECT * FROM perc_out").collect()
+    }
+    assert got == want
+
+
+def test_percolate_analyzer_folds_both_sides(spark):
+    """With the lowercase,stop,sstem chain, doc tokens and query terms
+    fold through ONE chain: 'Spark' matches query 'sparks' (s-stem),
+    stopwords match nothing."""
+    from spcht_spark.index.percolate import percolate
+
+    docs = spark.createDataFrame(
+        [(1, "Spark Joins THE pipeline"), (2, "nothing relevant")],
+        ["doc_id", "content"],
+    )
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate(
+            docs, [("a", "sparks"), ("b", "JOIN"), ("c", "the")],
+            analyzer="lowercase,stop,sstem",
+        ).collect()
+    }
+    assert (1, "a") in got and (1, "b") in got
+    assert all(q != "c" for _, q in got)  # stopword clause matches nothing
