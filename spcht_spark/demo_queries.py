@@ -796,6 +796,44 @@ _MLT_SEEDS = [11, 101, 303]
 _MLT_TERMS = 8
 
 
+def q_index_mlt_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mlt.interestingTerms=details: the chosen terms with their tf·idf
+    boosts per seed — the MLT rewrite made inspectable (Solr returns
+    exactly this list when details is requested)."""
+    from spcht_spark.index.mlt import interesting_terms_detail
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    rows = interesting_terms_detail(
+        docs, idx.dictionary, idx.stats.collect()[0], _MLT_SEEDS,
+        max_terms=_MLT_TERMS, mode="ws", content_col="text",
+    )
+    return spark.createDataFrame(
+        rows, "query_id string, rank int, term string, weight double"
+    )
+
+
+def _mlt_terms_sql() -> str:
+    seeds = ", ".join(f"({s})" for s in _MLT_SEEDS)
+    return f"""
+WITH {_TOK_SQL},
+  n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf),
+  dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+  s(seed) AS (VALUES {seeds}),
+  w AS (
+    SELECT 'mlt_' || s.seed AS query_id, tf.term,
+           round(tf.tf * ln(1.0 + (n.n_docs - dft.df + 0.5) / (dft.df + 0.5)), 6)
+             AS weight
+    FROM s JOIN tf ON tf.doc_id = s.seed
+         JOIN dft USING (term) CROSS JOIN n),
+  r AS (SELECT query_id, term, weight,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY weight DESC, term)::INTEGER AS rank
+        FROM w)
+SELECT query_id, rank, term, weight FROM r WHERE rank <= {_MLT_TERMS}
+"""
+
+
 def q_index_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """More-like-this (Solr MLT handler parity): each seed doc is
     rewritten into its top-8 tf·idf terms (tie-broken (round(w,6)
@@ -4251,6 +4289,7 @@ _ALL_QUERIES = {
     "index_qop_and": q_index_qop_and,
     "index_cursor_pages": q_index_cursor_pages,
     "index_mlt": q_index_mlt,
+    "index_mlt_terms": q_index_mlt_terms,
     "index_highlight": q_index_highlight,
     "index_fielded_topk": q_index_fielded_topk,
     "index_dismax_topk": q_index_dismax_topk,
@@ -4352,6 +4391,7 @@ _ALL_QUERIES = {
 # change this round and they stay hard-gated in overflow.
 DRIVER_GATE_CAP = 50
 OVERFLOW_QUERY_NAMES = [
+    "index_mlt_terms",
     "index_percolate",
     "index_complete",
     "index_group_sort",
@@ -4425,6 +4465,7 @@ ORACLES = {
     "index_qop_and": _boolean_bm25_sql(DOC_QOP_QUERIES, default_op="AND"),
     "index_cursor_pages": _cursor_pages_sql(),
     "index_mlt": _mlt_sql(),
+    "index_mlt_terms": _mlt_terms_sql(),
     "index_highlight": _highlight_sql(),
     "index_fielded_topk": _fielded_bm25_sql(),
     "index_dismax_topk": _dismax_bm25_sql(),

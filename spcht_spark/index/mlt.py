@@ -81,6 +81,55 @@ def interesting_terms(
     return out
 
 
+def interesting_terms_detail(
+    doc_store: DataFrame,
+    dictionary: DataFrame,
+    stats_row,
+    seed_ids: list[int],
+    max_terms: int = 8,
+    mode: str = "ws",
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> list[tuple[str, int, str, float]]:
+    """``mlt.interestingTerms=details``: the (query_id, rank, term,
+    weight) rows behind each seed's MLT rewrite — weight = tf·idf
+    exactly as :func:`interesting_terms` ranks them (Solr returns the
+    chosen terms with their boosts when details is requested)."""
+    rows = (
+        doc_store.filter(F.col(id_col).isin([int(s) for s in seed_ids]))
+        .select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content"))
+        .collect()
+    )
+    n_docs = int(stats_row["n_docs"])
+    tfs: dict[int, Counter] = {}
+    for r in rows:
+        toks = (
+            [t for t in r["content"].split(" ") if t]
+            if mode == "ws"
+            else tokenize_py(r["content"])
+        )
+        tfs[int(r["doc_id"])] = Counter(toks)
+    all_terms = sorted({t for c in tfs.values() for t in c})
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in dictionary.filter(F.col("term").isin(all_terms))
+        .select("term", "df")
+        .collect()
+    }
+    out: list[tuple[str, int, str, float]] = []
+    for seed in sorted(tfs):
+        c = tfs[seed]
+        ws = [
+            (round(c[t] * idf_py(n_docs, dfs[t]), 6), t)
+            for t in c
+            if t in dfs and dfs[t] > 0
+        ]
+        ws.sort(key=lambda x: (-x[0], x[1]))
+        for i, (wt, t) in enumerate(ws[:max_terms], 1):
+            out.append((f"mlt_{seed}", i, t, wt))
+    return out
+
+
 def mlt_topk(
     spark: SparkSession,
     blocks: DataFrame,
