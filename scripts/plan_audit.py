@@ -150,6 +150,18 @@ AUDITS = {
         (r"ReadSchema: struct<doc_id:bigint",
          "column pruning to the scrub inputs"),
     ],
+    "index_percolate": [
+        (r"^(?!.*Exchange hashpartitioning)",
+         "percolation is one shuffle-free projection (no index, no Exchange)"),
+        (r"explode\(",
+         "matches emitted via one array build + explode"),
+    ],
+    "index_complete": [
+        (r"PushedFilters: \[.*StartsWith",
+         "prefix batch pushed to the sorted dictionary scan"),
+        (r"BroadcastNestedLoopJoin|BroadcastHashJoin|BroadcastExchange",
+         "prefix frame broadcast against pruned candidates"),
+    ],
 }
 
 
