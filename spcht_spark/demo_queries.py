@@ -4385,10 +4385,13 @@ _ALL_QUERIES = {
 # Round 4 added 9 entries (tv/collate/funcsort/stats.facet/parent-join/
 # export/search-request + 2 sampling ops) and rotated 9 unchanged ops to
 # overflow (ADVICE r4: the old comment miscounted 6/6). Round 5 adds 6
-# (phrase-slop, wildcard, 3-level pivot, group.ngroups, repetition
-# signals, shared-ngram share) and rotates out explain/terms/mlt/
-# collapse plus the two round-4 sampling ops — their modules did not
-# change this round and they stay hard-gated in overflow.
+# PINNED entries (phrase-slop, wildcard, 3-level pivot, group.ngroups,
+# repetition signals, shared-ngram share), rotating out explain/terms/
+# mlt/collapse plus the two round-4 sampling ops (modules unchanged,
+# still hard-gated in overflow), and 11 new OVERFLOW-only entries
+# (qop-AND, child-join, delete-by-query, rtget, contamination,
+# pii-scrub, group-sort, interval-facets, complete, percolate,
+# mlt-terms) — registry 97 = 50 pinned + 47 overflow.
 DRIVER_GATE_CAP = 50
 OVERFLOW_QUERY_NAMES = [
     "index_mlt_terms",
