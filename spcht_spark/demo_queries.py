@@ -3419,6 +3419,52 @@ FROM t
 """
 
 
+_CHUNK_TOKENS = 64
+_CHUNK_OVERLAP = 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context chunking (training/RAG): overlapping token windows per
+    doc, stable (id, chunk_id) keys — in-row sequence+slice, one
+    explode, no shuffle."""
+    from spcht_spark.functions.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "text", "doc_id",
+        chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP,
+    ).select(
+        F.col("id").alias("doc_id"), "chunk_id", "n_tokens", "chunk_text"
+    )
+
+
+def _chunk_sql() -> str:
+    stride = _CHUNK_TOKENS - _CHUNK_OVERLAP
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+n AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 0 THEN 0
+              ELSE greatest(1, 1 + ceil((len(toks) - {_CHUNK_TOKENS})::DOUBLE
+                                        / {stride})::INTEGER)
+         END AS n_chunks
+  FROM t),
+c AS (
+  SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, toks
+  FROM n WHERE n_chunks > 0)
+SELECT doc_id, chunk_id::INTEGER AS chunk_id,
+       len(toks[chunk_id * {stride} + 1 : chunk_id * {stride} + {_CHUNK_TOKENS}])::INTEGER
+         AS n_tokens,
+       array_to_string(
+         toks[chunk_id * {stride} + 1 : chunk_id * {stride} + {_CHUNK_TOKENS}], ' ')
+         AS chunk_text
+FROM c
+"""
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup clustering, oracled by its DECISIONS: the
     (id → component, keep) output must equal connected components over
@@ -4362,6 +4408,7 @@ _ALL_QUERIES = {
     "shared_ngram_share": q_shared_ngram_share,
     "ngram_contamination": q_ngram_contamination,
     "pii_scrub": q_pii_scrub,
+    "chunk_documents": q_chunk_documents,
     "minhash_dedup": q_minhash_dedup,
     "minhash_dedup_bounded": q_minhash_dedup_bounded,
     "embedding_dedup": q_embedding_dedup,
@@ -4394,6 +4441,7 @@ _ALL_QUERIES = {
 # mlt-terms) — registry 97 = 50 pinned + 47 overflow.
 DRIVER_GATE_CAP = 50
 OVERFLOW_QUERY_NAMES = [
+    "chunk_documents",
     "index_mlt_terms",
     "index_percolate",
     "index_complete",
@@ -4543,6 +4591,7 @@ ORACLES = {
     "shared_ngram_share": _SHARED_NGRAM_SQL,
     "ngram_contamination": _CONTAMINATION_SQL,
     "pii_scrub": _pii_scrub_sql(),
+    "chunk_documents": _chunk_sql(),
     # The four formerly-rows-only ops, now oracled by decision or by
     # SQL-reproducible (md5) hashing:
     "minhash_dedup": Q_MINHASH_DEDUP_SQL,  # clusters vs exact-Jaccard CC

@@ -310,3 +310,59 @@ def scrub_pii(
         "id", scrubbed.alias("text_scrubbed"),
         *[f"n_{kind}" for kind, _ in PII_PATTERNS],
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """(id, chunk_id, n_tokens, chunk_text) — split each document into
+    overlapping token windows (the context-chunking pass of a training
+    / RAG pipeline): chunk i covers tokens [i·stride, i·stride +
+    chunk_tokens) with stride = chunk_tokens − overlap; the last chunk
+    may be short; a non-empty doc always yields ≥ 1 chunk; chunk_id is
+    the window index (0-based), so (id, chunk_id) is a stable key
+    under any partitioning/retry.
+
+    Entirely in-row (sequence + slice + array_join over the token
+    array — one codegen'd projection, then ONE explode): chunking
+    never shuffles, so at 100 TB it rides the corpus scan it is fused
+    into. Gap the reference outsources with the rest of content
+    processing to Solr (/root/reference/Spcht/Core/WorkOrder.py:
+    600-607)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    # number of stride-starts covering all tokens: 1 + ceil((n - chunk)/stride)
+    # clamped to >= 1 for any non-empty doc
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(1),
+            F.lit(1) + F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int"),
+        )
+    )
+    # guard the empty doc: sequence(0, -1) DESCENDS in Spark
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.alias("chunk_id"),
+                F.slice(toks, i * stride + 1, chunk_tokens).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<chunk_id:int,w:array<string>>>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("c"))
+        .select(
+            "id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.w").alias("n_tokens"),
+            F.array_join("c.w", " ").alias("chunk_text"),
+        )
+    )

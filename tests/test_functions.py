@@ -427,3 +427,30 @@ def test_scrub_pii_masks_and_counts(spark):
     assert got[1]["text_scrubbed"] == "mail <PII:email> ip <PII:ipv4> tel <PII:phone>"
     assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 1, 1)
     assert got[2]["text_scrubbed"] == "no pii at all"
+
+
+def test_chunk_documents_windows(spark):
+    """Window arithmetic pinned: stride = chunk - overlap, last chunk
+    short, single short doc -> one chunk, empty doc -> none, adjacent
+    chunks share exactly `overlap` tokens."""
+    from spcht_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, " ")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=1)
+        .collect(),
+        key=lambda r: (r["id"], r["chunk_id"]),
+    )
+    got = [(r["id"], r["chunk_id"], r["chunk_text"]) for r in rows]
+    assert got == [
+        (1, 0, "t0 t1 t2 t3"),
+        (1, 1, "t3 t4 t5 t6"),
+        (1, 2, "t6 t7 t8 t9"),
+        (2, 0, "a b"),
+    ]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
