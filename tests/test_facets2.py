@@ -199,3 +199,44 @@ def test_json_subfacets_no_metric(spark, small_corpus, small_corpus_pd, small_in
     rows = out.collect()
     assert rows and len({r["value1"] for r in rows}) == 1
     assert len(rows) <= 2
+
+
+def test_parse_interval_syntax():
+    from spcht_spark.index.facets import parse_interval
+
+    assert parse_interval("[0,100)") == (True, "0", "100", False)
+    assert parse_interval("(50,200]") == (False, "50", "200", True)
+    assert parse_interval("[*,10]") == (True, None, "10", True)
+    assert parse_interval("( a , b )") == (False, "a", "b", False)
+    import pytest as _pytest
+    for bad in ("0,100", "[0 100]", "[,]", "[0,100"):
+        with _pytest.raises(ValueError):
+            parse_interval(bad)
+
+
+def test_interval_facets_string_bounds(spark, small_corpus, small_index):
+    """Every closed bound non-numeric -> lexicographic comparison
+    (the ISO-8601 / identifier case), same rule as in-q ranges."""
+    from spcht_spark.index.facets import interval_facets
+
+    attrs = small_corpus.select("doc_id", "repo")
+    got = {
+        (r["query_id"], r["interval"]): r["n"]
+        for r in interval_facets(
+            spark, small_index.blocks, [("q", ["return"])], attrs,
+            "repo", ["[org0,org2)", "[org2,*]"],
+        ).collect()
+    }
+    pdf = small_corpus.select("doc_id", "repo", "content").toPandas()
+    from spcht_spark.oracle import tokenize_py
+
+    matched = {
+        int(r.doc_id): str(r.repo)
+        for r in pdf.itertuples()
+        if "return" in tokenize_py(r.content)
+    }
+    lo = sum(1 for v in matched.values() if "org0" <= v < "org2")
+    hi = sum(1 for v in matched.values() if v >= "org2")
+    assert got[("q", "[org0,org2)")] == lo
+    assert got[("q", "[org2,*]")] == hi
+    assert lo > 0 and hi > 0
