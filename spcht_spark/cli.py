@@ -154,6 +154,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--q-op", choices=["OR", "AND"], default="OR",
                     help="q.op: operator bare adjacency binds with")
     sp.add_argument("--hl", action="store_true")
+    sp.add_argument("--hl-tag", nargs=2, default=["<em>", "</em>"],
+                    metavar=("PRE", "POST"),
+                    help="hl.tag.pre/post: wrapper around matched terms")
     sp.add_argument("--hl-snippets", type=int, default=1,
                     help="hl.snippets: fragments per hit (>1 = multi)")
     sp.add_argument("--facet-prefix", default=None,
@@ -422,6 +425,7 @@ def main(argv: list[str] | None = None) -> int:
                 facet_interval=_parse_facet_intervals(args.facet_interval),
                 stats_field=args.stats_field,
                 hl=args.hl,
+                hl_tag=tuple(args.hl_tag),
                 hl_snippets=args.hl_snippets,
                 facet_prefix=args.facet_prefix,
                 facet_missing=args.facet_missing,

@@ -1704,6 +1704,50 @@ FROM wide, LATERAL (VALUES {unpivots}) AS u(interval, n)
 """
 
 
+def q_index_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit facet.range API (start/end/gap + other=all, hardend
+    off): gap buckets keyed by lower bound, last bucket overshooting
+    end by Solr hardend semantics, before/after/between counts — all
+    in the same single conditional-sum pass as interval facets."""
+    from spcht_spark.index.facets import range_facets
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return range_facets(
+        spark, idx.blocks, DOC_QUERIES, docs.select("doc_id", "n_chars"),
+        "n_chars", start=600.0, end=1500.0, gap=400.0, others=("all",),
+    )
+
+
+def _range_facets_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    # buckets: [600,1000) [1000,1400) [1400,1800) (end 1500, no hardend
+    # -> last bucket overshoots to 1800, end_actual = 1800)
+    conds = {
+        "600": "v >= 600 AND v < 1000",
+        "1000": "v >= 1000 AND v < 1400",
+        "1400": "v >= 1400 AND v < 1800",
+        "before": "v < 600",
+        "after": "v >= 1800",
+        "between": "v >= 600 AND v < 1800",
+    }
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT AS \"{b}\""
+        for b, cond in conds.items()
+    )
+    unpivots = ", ".join(f"('{b}', \"{b}\")" for b in conds)
+    return f"""
+WITH {_TOK_SQL},
+  q(query_id, term) AS (VALUES {vals}),
+  m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+  j AS (SELECT m.query_id, d.n_chars::DOUBLE AS v
+        FROM m JOIN documents d USING (doc_id)),
+  wide AS (SELECT query_id, {sums} FROM j GROUP BY query_id)
+SELECT query_id, u.bucket, u.n
+FROM wide, LATERAL (VALUES {unpivots}) AS u(bucket, n)
+"""
+
+
 def q_index_pivot_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot facets (Solr ``facet.pivot=lang,source``): hierarchical
     counts over each query's matching set — per-(lang, source) leaves
@@ -4351,6 +4395,7 @@ _ALL_QUERIES = {
     "index_group_ngroups": q_index_group_ngroups,
     "index_group_sort": q_index_group_sort,
     "index_interval_facets": q_index_interval_facets,
+    "index_range_facets": q_index_range_facets,
     "index_facet_query": q_index_facet_query,
     "index_stats_field": q_index_stats_field,
     "index_suggest": q_index_suggest,
@@ -4441,6 +4486,7 @@ _ALL_QUERIES = {
 # mlt-terms) — registry 97 = 50 pinned + 47 overflow.
 DRIVER_GATE_CAP = 50
 OVERFLOW_QUERY_NAMES = [
+    "index_range_facets",
     "chunk_documents",
     "index_mlt_terms",
     "index_percolate",
@@ -4532,6 +4578,7 @@ ORACLES = {
     "index_group_ngroups": _group_ngroups_sql(),
     "index_group_sort": _group_sort_sql(),
     "index_interval_facets": _interval_facets_sql(),
+    "index_range_facets": _range_facets_sql(),
     "index_facet_query": _facet_query_sql(),
     "index_stats_field": _stats_field_sql(),
     "index_suggest": _suggest_sql(),

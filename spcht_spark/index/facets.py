@@ -405,3 +405,70 @@ def interval_facets(
         "query_id",
         f"stack({len(parsed)}, {pairs}) as (interval, n)",
     )
+
+
+def range_facets(
+    spark: SparkSession,
+    blocks: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    attrs: DataFrame,
+    field: str,
+    start: float,
+    end: float,
+    gap: float,
+    others: tuple[str, ...] = (),
+    hardend: bool = False,
+    doc_filter: DataFrame | None = None,
+    match: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, bucket, n) — Solr's explicit RangeFacets API
+    (``facet.range=<f>&facet.range.start/end/gap`` +
+    ``facet.range.other=before|after|between|all``): gap-sized buckets
+    keyed by their lower bound (Solr's bucket naming), the last bucket
+    clipped to ``end`` when ``hardend`` else extending a full gap past
+    it (Solr hardend semantics), plus the requested ``other`` counts.
+
+    Pure request-expansion: the bucket set is a driver-side constant
+    (``(end-start)/gap`` intervals — request-sized, like Solr's own
+    bucket list), handed to :func:`interval_facets`, so the whole
+    facet — buckets AND others — is still ONE conditional-sum
+    partial-agg pass over the matched set."""
+    if gap <= 0 or end <= start:
+        raise ValueError("facet.range needs gap > 0 and end > start")
+    if others == ("all",) or "all" in others:
+        others = ("before", "after", "between")
+    specs: list[tuple[str, str]] = []  # (bucket label, interval spec)
+    lo = start
+    while lo < end:
+        hi = lo + gap
+        if hardend:
+            hi = min(hi, end)
+        specs.append((_num(lo), f"[{_num(lo)},{_num(hi)})"))
+        lo += gap
+    end_actual = end if hardend else lo
+    for o in others:
+        if o == "before":
+            specs.append(("before", f"[*,{_num(start)})"))
+        elif o == "after":
+            specs.append(("after", f"[{_num(end_actual)},*]"))
+        elif o == "between":
+            specs.append(("between", f"[{_num(start)},{_num(end_actual)})"))
+        else:
+            raise ValueError(f"facet.range.other: unknown {o!r}")
+    out = interval_facets(
+        spark, blocks, queries, attrs, field,
+        [s for _, s in specs], doc_filter=doc_filter, match=match,
+    )
+    label_map = F.create_map(
+        *[x for lbl, s in specs for x in (F.lit(s), F.lit(lbl))]
+    )
+    return out.select(
+        "query_id", label_map[F.col("interval")].alias("bucket"), "n"
+    )
+
+
+def _num(v: float) -> str:
+    """Render a bound the way Solr keys numeric buckets (no trailing
+    .0 for integral values)."""
+    f = float(v)
+    return str(int(f)) if f.is_integer() else repr(f)

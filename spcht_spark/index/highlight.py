@@ -29,8 +29,13 @@ def highlight(
     window: int = 4,
     id_col: str = "doc_id",
     content_col: str = "content",
+    tag_pre: str = "<em>",
+    tag_post: str = "</em>",
 ) -> DataFrame:
     """hits (query_id, rank, doc_id, …) → + ``snippet``.
+
+    ``tag_pre``/``tag_post`` are Solr ``hl.tag.pre`` / ``hl.tag.post``
+    (hl.simple.pre/post): the wrapper around each matched term.
 
     Tokens are the single-space split of the stored field (the
     SQL-oracle-portable token definition); position = 1-based index in
@@ -63,7 +68,8 @@ def highlight(
     emph = F.transform(
         snip,
         lambda t: F.when(
-            F.array_contains(qterms, t), F.concat(F.lit("<em>"), t, F.lit("</em>"))
+            F.array_contains(qterms, t),
+            F.concat(F.lit(tag_pre), t, F.lit(tag_post)),
         ).otherwise(t),
     )
     # greatest() skips NULLs, so a no-match pos would silently anchor the
@@ -80,6 +86,8 @@ def highlight_fragments(
     max_snippets: int = 3,
     id_col: str = "doc_id",
     content_col: str = "content",
+    tag_pre: str = "<em>",
+    tag_post: str = "</em>",
 ) -> DataFrame:
     """Solr ``hl.snippets=N``: up to N fragments per hit instead of
     one — + ``snippets array<string>``.
@@ -134,7 +142,7 @@ def highlight_fragments(
                 ),
                 lambda t: F.when(
                     F.array_contains(qterms, t),
-                    F.concat(F.lit("<em>"), t, F.lit("</em>")),
+                    F.concat(F.lit(tag_pre), t, F.lit(tag_post)),
                 ).otherwise(t),
             ),
             " ",

@@ -83,6 +83,7 @@ class SearchRequest:
     stats_field: str | None = None           # stats.field
     hl: bool = False                         # highlight
     hl_window: int = 4
+    hl_tag: tuple = ("<em>", "</em>")        # hl.tag.pre / hl.tag.post
     hl_snippets: int = 1                     # hl.snippets=N: >1 switches to
                                              # multi-fragment highlighting
                                              # (snippets array column)
@@ -260,12 +261,14 @@ def search(
                 window=request.hl_window,
                 max_snippets=request.hl_snippets,
                 id_col=id_col, content_col=content_col,
+                tag_pre=request.hl_tag[0], tag_post=request.hl_tag[1],
             )
         else:
             hits = highlight(
                 hits, doc_store, hl_queries,
                 window=request.hl_window,
                 id_col=id_col, content_col=content_col,
+                tag_pre=request.hl_tag[0], tag_post=request.hl_tag[1],
             )
 
     facets_df = None

@@ -240,3 +240,40 @@ def test_interval_facets_string_bounds(spark, small_corpus, small_index):
     assert got[("q", "[org0,org2)")] == lo
     assert got[("q", "[org2,*]")] == hi
     assert lo > 0 and hi > 0
+
+
+def test_range_facets_hardend_and_others(spark, small_corpus, small_index):
+    """hardend=True clips the last bucket at end; before/after/between
+    agree with a hand count; bucket labels are the lower bounds."""
+    from spcht_spark.index.facets import range_facets
+    from spcht_spark.oracle import tokenize_py
+
+    store = small_corpus.withColumn(
+        "n_lines", F.size(F.split("content", "\n"))
+    )
+    got = {
+        r["bucket"]: r["n"]
+        for r in range_facets(
+            spark, small_index.blocks, [("q", ["return"])],
+            store.select("doc_id", "n_lines"),
+            "n_lines", start=10.0, end=35.0, gap=10.0,
+            others=("all",), hardend=True,
+        ).collect()
+    }
+    pdf = small_corpus.select("doc_id", "content").toPandas()
+    lines = {
+        int(r.doc_id): len(r.content.split("\n"))
+        for r in pdf.itertuples()
+        if "return" in tokenize_py(r.content)
+    }
+    assert got["10"] == sum(1 for v in lines.values() if 10 <= v < 20)
+    assert got["20"] == sum(1 for v in lines.values() if 20 <= v < 30)
+    # hardend: last bucket [30, 35), NOT [30, 40)
+    assert got["30"] == sum(1 for v in lines.values() if 30 <= v < 35)
+    assert got["before"] == sum(1 for v in lines.values() if v < 10)
+    assert got["after"] == sum(1 for v in lines.values() if v >= 35)
+    assert got["between"] == sum(1 for v in lines.values() if 10 <= v < 35)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        range_facets(spark, small_index.blocks, [("q", ["return"])],
+                     store, "n_lines", 10.0, 5.0, 10.0)
