@@ -1748,6 +1748,36 @@ FROM wide, LATERAL (VALUES {unpivots}) AS u(bucket, n)
 """
 
 
+def q_index_stats_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats component over a STRING field (Solr: lexicographic
+    min/max + missing + calcdistinct, no sum/mean) — the dtype-routed
+    twin of index_stats_field."""
+    from spcht_spark.index.facets import field_stats_string
+
+    idx = _persisted_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return field_stats_string(
+        spark, idx.blocks, DOC_QUERIES, docs.select("doc_id", "source"),
+        "source",
+    )
+
+
+def _stats_string_sql() -> str:
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts)
+    return f"""
+WITH {_TOK_SQL},
+  q(query_id, term) AS (VALUES {vals}),
+  m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+  j AS (SELECT m.query_id, d.source::VARCHAR AS v
+        FROM m LEFT JOIN documents d USING (doc_id))
+SELECT query_id, count(*)::BIGINT AS n,
+       min(v) AS min_v, max(v) AS max_v,
+       sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing,
+       count(DISTINCT v)::BIGINT AS n_distinct
+FROM j GROUP BY query_id
+"""
+
+
 def q_index_pivot_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot facets (Solr ``facet.pivot=lang,source``): hierarchical
     counts over each query's matching set — per-(lang, source) leaves
@@ -4396,6 +4426,7 @@ _ALL_QUERIES = {
     "index_group_sort": q_index_group_sort,
     "index_interval_facets": q_index_interval_facets,
     "index_range_facets": q_index_range_facets,
+    "index_stats_string": q_index_stats_string,
     "index_facet_query": q_index_facet_query,
     "index_stats_field": q_index_stats_field,
     "index_suggest": q_index_suggest,
@@ -4486,6 +4517,7 @@ _ALL_QUERIES = {
 # mlt-terms) — registry 97 = 50 pinned + 47 overflow.
 DRIVER_GATE_CAP = 50
 OVERFLOW_QUERY_NAMES = [
+    "index_stats_string",
     "index_range_facets",
     "chunk_documents",
     "index_mlt_terms",
@@ -4579,6 +4611,7 @@ ORACLES = {
     "index_group_sort": _group_sort_sql(),
     "index_interval_facets": _interval_facets_sql(),
     "index_range_facets": _range_facets_sql(),
+    "index_stats_string": _stats_string_sql(),
     "index_facet_query": _facet_query_sql(),
     "index_stats_field": _stats_field_sql(),
     "index_suggest": _suggest_sql(),

@@ -319,6 +319,50 @@ def field_stats(
     )
 
 
+def field_stats_string(
+    spark: SparkSession,
+    blocks: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    attrs: DataFrame,
+    field: str,
+    doc_filter: DataFrame | None = None,
+    match: DataFrame | None = None,
+    by: str | None = None,
+) -> DataFrame:
+    """Solr stats component over a STRING field — min/max are
+    lexicographic, sum/mean do not exist; instead Solr reports
+    ``missing`` (matched docs with a NULL value) and ``countDistinct``
+    (stats.calcdistinct). Returns (query_id[, bucket], n, min_v,
+    max_v, n_missing, n_distinct) from the same matching-doc machinery
+    and ONE aggregation pass (count-distinct partial-aggregates like
+    everything else; at web scale swap approx_count_distinct in the
+    caller if exactness is not needed — Solr's is exact, so this is).
+
+    The numeric twin (:func:`field_stats`) silently NULLed these
+    fields (min/max cast long); the facade routes by the attr column's
+    dtype so ``stats.field=<string col>`` just works."""
+    if match is None:
+        match = matching_docs(spark, blocks, queries)
+    else:
+        match = match.select("query_id", "doc_id")
+    if doc_filter is not None:
+        match = match.join(doc_filter.select("doc_id"), "doc_id", "semi")
+    cols = [c for c in dict.fromkeys([field, by]) if c not in (None, "doc_id")]
+    j = match.join(attrs.select("doc_id", *cols), "doc_id", "left")
+    keys = ["query_id"]
+    if by is not None:
+        j = j.withColumn("bucket", F.col(by).cast("string"))
+        keys.append("bucket")
+    v = F.col(field).cast("string")
+    return j.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.sum(v.isNull().cast("long")).alias("n_missing"),
+        F.countDistinct(v).alias("n_distinct"),
+    )
+
+
 _INTERVAL_RE = re.compile(
     r"^([\[\(])\s*([^,\s]+)\s*,\s*([^,\s\]\)]+)\s*([\]\)])$"
 )

@@ -281,7 +281,18 @@ def search(
         )
     stats_df = None
     if request.stats_field:
-        stats_df = field_stats(
+        from pyspark.sql.types import StringType
+
+        from spcht_spark.index.facets import field_stats_string
+
+        # route by dtype: Solr stats over a string field has no
+        # sum/mean — it reports lexicographic min/max + missing +
+        # countDistinct instead (the numeric path would NULL them)
+        is_str = isinstance(
+            attrs.schema[request.stats_field].dataType, StringType
+        )
+        stats_fn = field_stats_string if is_str else field_stats
+        stats_df = stats_fn(
             spark, index.blocks, [(query_id, terms)], attrs,
             request.stats_field, match=matches, by=request.stats_facet,
         )
