@@ -17,8 +17,24 @@ from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------- helpers
 
+# Session-scoped PLAN-HANDLE memo (optimization r06, guide §6 "file
+# listing"): every `spark.read.parquet` pays a driver-side open (file
+# listing + footer schema job, measured 30-90 ms each plus a ~40 ms
+# inter-job gap), and the driver queries re-open the same immutable
+# testdata tables on every call. Caching the lazy DataFrame HANDLE —
+# never results, never rows — makes repeat opens free while every
+# execution still scans the parquet from disk. Keyed by applicationId
+# so a fresh session never sees another session's handles.
+_TABLE_HANDLES: dict[tuple[str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, f"{sf_dir}/{name}.parquet")
+    df = _TABLE_HANDLES.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _TABLE_HANDLES[key] = df
+    return df
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,13 +85,21 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # Only the query terms' df values are ever consumed (the join with
+    # q below), but Catalyst cannot push the join's term set into the
+    # aggregation — an explicit pre-filter prunes the df agg (and the
+    # postings join input) from |all (doc, term) pairs| to the query
+    # terms' rows (guide §2.3 "aggregate before you shuffle" / project
+    # early). dl/stats stay corpus-wide — BM25 semantics.
+    qterms = sorted({t for _, ts in DOC_QUERIES for t in ts})
+    tfq = tf.filter(F.col("term").isin(qterms))
+    dft = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     q = spark.createDataFrame(
         [(qid, t) for qid, ts in DOC_QUERIES for t in ts], ["query_id", "term"]
     )
     scored = (
         q.join(dft, "term")
-        .join(tf, "term")
+        .join(tfq, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
@@ -171,6 +195,18 @@ def _source_fingerprint(sf_dir: str) -> str:
     return h.hexdigest()[:16]
 
 
+# Open-searcher memo (optimization r06): resuming a COMPLETED work
+# order still cost 7 manifest reads + 7 `spark.read.parquet` opens + a
+# manifest rewrite per call — measured 0.49-0.73 s of pure driver-side
+# fixed cost inside EVERY index_* query. Solr keeps its searcher open
+# between requests; this memo is the same thing: it holds the lazy
+# table HANDLES of the committed index (plans, not data, not results).
+# Every query still reads the posting parquet at execution time. Keyed
+# by (applicationId, source fingerprint): a fresh session re-opens, a
+# changed source file re-fingerprints and re-builds.
+_INDEX_HANDLES: dict[tuple[str, str], object] = {}
+
+
 def _persisted_index(spark: SparkSession, sf_dir: str):
     """The committed on-disk index the driver queries run against.
 
@@ -179,13 +215,17 @@ def _persisted_index(spark: SparkSession, sf_dir: str):
     queries in production: parquet blocks sorted by term, so the
     query-time ``term IN (...)`` prunes row groups via min/max stats
     (checked by scripts/plan_audit.py). Subsequent calls — the other
-    index_* driver queries, repeat runs — resume the completed order,
-    which costs a manifest read + parquet open, not a rebuild. Replaces
-    round 2's per-query in-memory rebuild (VERDICT.md "What's missing"
-    #2)."""
+    index_* driver queries, repeat runs — hit the open-searcher memo
+    (handle reuse, see _INDEX_HANDLES) or resume the completed order,
+    never a rebuild. Replaces round 2's per-query in-memory rebuild
+    (VERDICT.md "What's missing" #2)."""
     from spcht_spark.plans.indexer import index_order, run_index_order
 
     key = _source_fingerprint(sf_dir)
+    memo_key = (spark.sparkContext.applicationId, key)
+    hit = _INDEX_HANDLES.get(memo_key)
+    if hit is not None:
+        return hit
     workdir = os.path.join(_INDEX_CACHE_ROOT, key)
     order = index_order(
         workdir,
@@ -195,7 +235,9 @@ def _persisted_index(spark: SparkSession, sf_dir: str):
         shard_span=_INDEX_SHARD_SPAN,
         verify_sha256=False,  # driver table carries no sha column
     )
-    return run_index_order(spark, order)
+    idx = run_index_order(spark, order)
+    _INDEX_HANDLES[memo_key] = idx
+    return idx
 
 
 def _rerank_rounded(out: DataFrame) -> DataFrame:

@@ -232,6 +232,13 @@ def build_index(
     dictionary = build_dictionary(tokens)
     stats = build_stats(doclens)
     srow = stats.collect()[0]
+    # stats is one row and was just computed — hand consumers a LOCAL
+    # relation with the identical values instead of the lazy agg plan.
+    # Every later stats.collect()/count() (each query path does one)
+    # otherwise re-runs the doclens aggregation over the full token
+    # table: measured ~0.4 s per call at bench scale, a full corpus
+    # pass at 10^12 docs (guide §2.4 "remove shuffles outright").
+    stats = spark.createDataFrame([srow], schema=stats.schema)
     blocks = build_blocks(tokens, float(srow["avgdl"]), shard_span=shard_span)
     return IndexTables(
         tokens, doclens, dictionary, stats, blocks,
