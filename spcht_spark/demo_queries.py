@@ -94,8 +94,14 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = sorted({t for _, ts in DOC_QUERIES for t in ts})
     tfq = tf.filter(F.col("term").isin(qterms))
     dft = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    q = spark.createDataFrame(
-        [(qid, t) for qid, ts in DOC_QUERIES for t in ts], ["query_id", "term"]
+    from spcht_spark.index.query import values_df
+
+    # inline VALUES (pure-JVM LocalRelation) instead of a parallelize-
+    # backed createDataFrame: the latter adds a python-task stage to
+    # every broadcast build of this 12-row table (see values_df).
+    q = values_df(
+        spark, [(qid, t) for qid, ts in DOC_QUERIES for t in ts],
+        ["query_id", "term"],
     )
     scored = (
         q.join(dft, "term")

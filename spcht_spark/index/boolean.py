@@ -41,7 +41,7 @@ import re
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spcht_spark.index.query import decode_blocks, query_idfs, topk
+from spcht_spark.index.query import decode_blocks, query_idfs, topk, values_df
 from spcht_spark.oracle import B, K1
 
 Ast = tuple
@@ -733,8 +733,8 @@ def boolean_matches_ast(
         for t in sorted(ast_terms(ast))
         if t in idfs
     ]
-    query_terms = spark.createDataFrame(
-        qrows, ["query_id", "term", "is_pos", "boost"]
+    query_terms = values_df(
+        spark, qrows, ["query_id", "term", "is_pos", "boost"]
     )
     postings = decode_blocks(blocks.filter(F.col("term").isin(list(idfs.keys()))))
     idf_map = F.create_map(

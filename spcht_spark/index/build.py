@@ -208,7 +208,17 @@ def build_blocks(
             }
         )
 
-    blocks = with_dl.groupBy("term", "shard").applyInPandas(make_blocks, schema=BLOCKS_SCHEMA)
+    # Pin the grouping shuffle to the configured shuffle parallelism:
+    # AQE coalesces by bytes, but this stage's cost is the per-group
+    # Python varbyte encode — on a small-byte token shuffle AQE would
+    # collapse it to one task and serialize every group's encode
+    # (same fix as index.wand._pin_groups; guide §2.5).
+    n_shuffle = int(tokens.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    blocks = (
+        with_dl.repartition(n_shuffle, "term", "shard")
+        .groupBy("term", "shard")
+        .applyInPandas(make_blocks, schema=BLOCKS_SCHEMA)
+    )
     # term_hash recomputed column-side (cheap, avoids carrying it through
     # the pandas group).
     return blocks.withColumn("term_hash", F.xxhash64("term"))
@@ -228,17 +238,21 @@ def build_index(
     and blocks all branch from them, and without materialization each
     branch would re-run the tokenizer over the full corpus."""
     tokens = build_tokens(corpus, tokenizer, analyzer=analyzer).localCheckpoint()
-    doclens = build_doclens(tokens)
+    # doclens is read twice on every build (stats here, and the caller
+    # materializes/queries it) — each read otherwise re-aggregates the
+    # full token table (a corpus-wide pass, measured ~0.6 s at bench
+    # scale). Materialize the narrow (doc_id, dl) table once.
+    doclens = build_doclens(tokens).localCheckpoint()
     dictionary = build_dictionary(tokens)
+    # stats stays a lazy agg over the CHECKPOINTED doclens: every later
+    # stats.collect()/count() (each query path does one) is then a tiny
+    # agg over the materialized (doc_id, dl) table, not a corpus-wide
+    # token re-aggregation. (A createDataFrame([row]) local relation
+    # was tried here and measurably REGRESSED the build ~2x on this VM
+    # — the per-call python->JVM parallelize path is storm-amplified —
+    # interleaved A/B in OPTIMIZATION_r06.md.)
     stats = build_stats(doclens)
     srow = stats.collect()[0]
-    # stats is one row and was just computed — hand consumers a LOCAL
-    # relation with the identical values instead of the lazy agg plan.
-    # Every later stats.collect()/count() (each query path does one)
-    # otherwise re-runs the doclens aggregation over the full token
-    # table: measured ~0.4 s per call at bench scale, a full corpus
-    # pass at 10^12 docs (guide §2.4 "remove shuffles outright").
-    stats = spark.createDataFrame([srow], schema=stats.schema)
     blocks = build_blocks(tokens, float(srow["avgdl"]), shard_span=shard_span)
     return IndexTables(
         tokens, doclens, dictionary, stats, blocks,

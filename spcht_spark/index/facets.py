@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from spcht_spark.index.query import decode_blocks
+from spcht_spark.index.query import decode_blocks, values_df
 
 FACET_SCHEMA = T.StructType(
     [
@@ -57,7 +57,7 @@ def matching_docs(
             [], schema="query_id string, doc_id long"
         )
     qrows = [(qid, t) for qid, ts in queries for t in sorted(set(ts))]
-    query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
+    query_terms = values_df(spark, qrows, ["query_id", "term"])
     postings = decode_blocks(blocks.filter(F.col("term").isin(all_terms)))
     return (
         postings.join(F.broadcast(query_terms), "term")

@@ -49,11 +49,20 @@ def highlight(
             for x in (F.lit(qid), F.array(*[F.lit(t) for t in sorted(set(ts))]))
         ]
     )
+    # Tokenize AFTER the join: the broadcast-hash join streams the doc
+    # store, so a split in the pre-join projection runs over EVERY
+    # stored doc to serve a k-row page (a full corpus re-tokenization
+    # at scale — guide §2.3 "project before the exchange", inverted:
+    # compute after the filter). Post-join it touches k·|queries| rows.
     docs = doc_store.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.col(content_col), " ").alias("_toks"),
+        F.col(id_col).alias("doc_id"), F.col(content_col).alias("_content")
     )
-    j = F.broadcast(hits).join(docs, "doc_id")
+    j = (
+        F.broadcast(hits)
+        .join(docs, "doc_id")
+        .withColumn("_toks", F.split(F.col("_content"), " "))
+        .drop("_content")
+    )
     qterms: Column = terms_map[F.col("query_id")]
     # 1-based position of the first query-term occurrence (array_min
     # skips the NULLs left by non-matching positions).
@@ -112,11 +121,17 @@ def highlight_fragments(
             for x in (F.lit(qid), F.array(*[F.lit(t) for t in sorted(set(ts))]))
         ]
     )
+    # split after the join — page rows only, never the streamed corpus
+    # (see highlight)
     docs = doc_store.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.col(content_col), " ").alias("_toks"),
+        F.col(id_col).alias("doc_id"), F.col(content_col).alias("_content")
     )
-    j = F.broadcast(hits).join(docs, "doc_id")
+    j = (
+        F.broadcast(hits)
+        .join(docs, "doc_id")
+        .withColumn("_toks", F.split(F.col("_content"), " "))
+        .drop("_content")
+    )
     qterms: Column = terms_map[F.col("query_id")]
     toks = F.col("_toks")
     # first occurrence of each query term (0 = absent), ordered by

@@ -46,6 +46,36 @@ TOPK_SCHEMA = T.StructType(
 )
 
 
+def values_df(spark: SparkSession, rows: list[tuple], cols: list[str]) -> DataFrame:
+    """Tiny literal DataFrame as a pure-JVM inline table (``VALUES``).
+
+    ``spark.createDataFrame(list)`` is parallelize-backed: every scan /
+    broadcast build of it is a stage of PYTHON tasks (deserializing the
+    pickled rows), measured 0.2-0.5 s per query batch on this VM and
+    storm-amplified. An inline VALUES table resolves to a LocalRelation
+    — the broadcast build reads it driver-side with zero tasks (guide
+    §4: keep the JVM↔Python boundary out of paths that carry no data).
+    Strings are SQL-escaped; bool/int/float map to
+    BOOLEAN/BIGINT/DOUBLE (the same types createDataFrame inferred)."""
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return f"CAST({v} AS BIGINT)"
+        if isinstance(v, float):
+            return f"CAST('{v!r}' AS DOUBLE)"
+        s = str(v).replace("'", "''")
+        return f"'{s}'"
+
+    if not rows:
+        raise ValueError("values_df needs at least one row")
+    body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return spark.sql(f"SELECT * FROM VALUES {body} AS t({', '.join(cols)})")
+
+
 def decode_blocks(blocks: DataFrame) -> DataFrame:
     """blocks → flat (term, doc_id, tf, dl) via Arrow-batched numpy decode.
 
@@ -212,7 +242,7 @@ def exact_topk(
             return spark.createDataFrame([], schema=TOPK_SCHEMA)
 
     qrows = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts)) if t in idfs]
-    query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
+    query_terms = values_df(spark, qrows, ["query_id", "term"])
 
     hit_blocks = blocks.filter(F.col("term").isin(list(idfs.keys())))
     postings = decode_blocks(hit_blocks)
@@ -272,7 +302,7 @@ def boosted_topk(
     if not idfs:
         return spark.createDataFrame([], schema=TOPK_SCHEMA)
     qrows = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts)) if t in idfs]
-    query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
+    query_terms = values_df(spark, qrows, ["query_id", "term"])
     postings = decode_blocks(blocks.filter(F.col("term").isin(list(idfs.keys()))))
     scores = score_postings(postings, idfs, avgdl, query_terms)
     need = sorted(

@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 
 from spcht_spark.index.compress import BLOCK_SIZE as _BLOCK_SIZE
 from spcht_spark.index.compress import varbyte_decode
-from spcht_spark.index.query import TOPK_SCHEMA, query_idfs, topk
+from spcht_spark.index.query import TOPK_SCHEMA, query_idfs, topk, values_df
 from spcht_spark.oracle import B, K1
 
 # θ-cascade pays its two extra driver barriers only when the batch
@@ -49,6 +49,25 @@ _CAND_SCHEMA = T.StructType(
         T.StructField("score", T.DoubleType(), False),
     ]
 )
+
+
+def _pin_groups(df: DataFrame) -> DataFrame:
+    """Pin the (query_id, shard) grouping shuffle to the configured
+    shuffle parallelism before an applyInPandas group stage.
+
+    AQE coalesces shuffle partitions by BYTES; posting-block rows are
+    small but each group runs a Python WAND/AND decode loop, so a
+    byte-coalesced exchange collapses the whole batch into one task and
+    serializes every group's loop in a single worker (measured: a
+    1-task 0.46 s stage for a 25-query batch that runs 0.06 s at 32
+    tasks). An explicit keyed repartition at
+    ``spark.sql.shuffle.partitions`` (the scale-tuned knob: cores
+    locally, 2-3x executor cores on a cluster) satisfies the group
+    clustering requirement — no second exchange — and AQE honors the
+    user-specified partition count (guide §2.5: compute-heavy, not
+    byte-heavy, partitions)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, "query_id", "shard")
 
 
 class _TermCursor:
@@ -302,7 +321,7 @@ def and_topk(
     n_terms = {qid: len(set(ts)) for qid, ts, _ in queries}
 
     qrows = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts))]
-    query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
+    query_terms = values_df(spark, qrows, ["query_id", "term"])
     hit = blocks.filter(F.col("term").isin(list(idfs.keys()))).join(
         F.broadcast(query_terms), "term"
     )
@@ -315,7 +334,9 @@ def and_topk(
              "score": [s for _, s in res]}
         )
 
-    cand = hit.groupBy("query_id", "shard").applyInPandas(run, schema=_CAND_SCHEMA)
+    cand = _pin_groups(hit).groupBy("query_id", "shard").applyInPandas(
+        run, schema=_CAND_SCHEMA
+    )
     if doc_filter is not None:
         cand = cand.join(doc_filter.select("doc_id"), "doc_id", "semi")
     return topk(cand, ks)
@@ -373,7 +394,7 @@ def wand_topk(
     ks = {qid: k for qid, _, k in queries}
 
     qrows = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts)) if t in idfs]
-    query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
+    query_terms = values_df(spark, qrows, ["query_id", "term"])
 
     hit = blocks.filter(F.col("term").isin(list(idfs.keys()))).join(
         F.broadcast(query_terms), "term"
@@ -408,7 +429,7 @@ def wand_topk(
         )
         # replicate the per-shard array per query (|queries| is tiny) so
         # the cogroup key matches the blocks' (query_id, shard) grouping
-        qdf = spark.createDataFrame([(qid,) for qid in sorted(ks)], ["query_id"])
+        qdf = values_df(spark, [(qid,) for qid in sorted(ks)], ["query_id"])
         ga = allowed_by_shard.crossJoin(F.broadcast(qdf)).groupBy("query_id", "shard")
 
         def run_filtered(key, blocks_pdf: pd.DataFrame, allowed_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -470,7 +491,7 @@ def wand_topk(
                 and int(probe["n_blocks"]) >= _CASCADE_MIN_BLOCKS
             )
     if not theta_cascade:
-        cand = hit.groupBy("query_id", "shard").applyInPandas(
+        cand = _pin_groups(hit).groupBy("query_id", "shard").applyInPandas(
             runner({}), schema=_CAND_SCHEMA
         )
         return topk(cand, ks)
@@ -494,7 +515,7 @@ def wand_topk(
         .select("query_id", "shard")
     )
     seed_cand = (
-        hit.join(F.broadcast(seeds), ["query_id", "shard"])
+        _pin_groups(hit.join(F.broadcast(seeds), ["query_id", "shard"]))
         .groupBy("query_id", "shard")
         .applyInPandas(runner({}), schema=_CAND_SCHEMA)
         .localCheckpoint()  # collected once for θ, reused in the union
@@ -508,7 +529,7 @@ def wand_topk(
 
     # Phase 2 — remaining shards start at the broadcast θ floor.
     rest = hit.join(F.broadcast(seeds), ["query_id", "shard"], "left_anti")
-    rest_cand = rest.groupBy("query_id", "shard").applyInPandas(
+    rest_cand = _pin_groups(rest).groupBy("query_id", "shard").applyInPandas(
         runner(theta0s), schema=_CAND_SCHEMA
     )
     return topk(seed_cand.unionByName(rest_cand), ks)
