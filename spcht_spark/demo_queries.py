@@ -38,16 +38,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, term, tf) over documents.text — whitespace tokens.
+    """(doc_id, term, tf, dl) over documents.text — whitespace tokens.
 
-    JVM-side split/explode (north-rule hot path stays in codegen)."""
+    One Arrow map pass (index.tokenize.tokens_ws_arrow): tf and dl come
+    out of the same per-batch inversion with zero exchanges, where the
+    previous explode→groupBy shape shuffled every token row and left dl
+    to a separate corpus-wide aggregation+join in each consumer (guide
+    §2.4). Row-identical to the SQL oracle's string_split/GROUP BY."""
+    from spcht_spark.index.tokenize import tokens_ws_arrow
+
     docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.col("term") != "")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    return tokens_ws_arrow(docs.select("doc_id", F.col("text").alias("content")))
 
 
 _TOK_SQL = """
@@ -80,8 +81,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     build in spcht_spark.plans.indexer is the real answer). Here:
     localCheckpoint once, read four times."""
     tf = _doc_tokens(spark, sf_dir).localCheckpoint()
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
+    # dl rides every token row (computed in the tokenize batch), so the
+    # former corpus-wide dl aggregation + equi-join on doc_id is gone;
+    # stats dedup the carried dl to one row per doc (narrow agg).
+    dl_docs = tf.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    stats = dl_docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
@@ -106,7 +110,6 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         q.join(dft, "term")
         .join(tfq, "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "contrib",
@@ -177,7 +180,7 @@ def _index_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Driver index layout: bump to invalidate cached on-disk builds.
-_INDEX_LAYOUT_VERSION = 4  # v4: tokens carry dl
+_INDEX_LAYOUT_VERSION = 5  # v5: blocks carry a cf lane (dictionary source)
 _INDEX_SHARD_SPAN = 1024
 _INDEX_CACHE_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".index_cache"
@@ -249,12 +252,16 @@ def _persisted_index(spark: SparkSession, sf_dir: str):
 def _rerank_rounded(out: DataFrame) -> DataFrame:
     """Engine ranks by exact float score; the oracle compare needs the
     rounded-deterministic order (round(score,6) desc, doc asc). Engine
-    queries overfetch k+5 so boundary ties resolve inside this window."""
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round("score", 6)), F.asc("doc_id")
-    )
+    queries overfetch k+5 so boundary ties resolve inside this window.
+    (Single-expr window: one py4j call, not ~30 — see index.query.topk.)"""
     return (
-        out.withColumn("rank", F.row_number().over(w))
+        out.withColumn(
+            "rank",
+            F.expr(
+                "row_number() OVER (PARTITION BY query_id "
+                "ORDER BY round(score, 6) DESC, doc_id ASC)"
+            ),
+        )
         .filter(F.col("rank") <= DOC_K)
         .select("query_id", "rank", "doc_id", F.round("score", 4).alias("score"))
     )

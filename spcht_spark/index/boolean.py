@@ -41,7 +41,13 @@ import re
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spcht_spark.index.query import decode_blocks, query_idfs, topk, values_df
+from spcht_spark.index.query import (
+    decode_blocks,
+    query_idfs,
+    stats_and_idfs,
+    topk,
+    values_df,
+)
 from spcht_spark.oracle import B, K1
 
 Ast = tuple
@@ -713,14 +719,17 @@ def boolean_matches_ast(
             f"attribute field name(s) {sorted(bad)} collide with engine "
             "columns — rename them in the attrs table and query"
         )
-    if stats_row is None:
-        stats_row = stats.collect()[0]
-    avgdl = float(stats_row["avgdl"])
     all_terms = sorted({t for _, ast, _ in parsed for t in ast_terms(ast)})
-    if idfs is None:
+    if stats_row is None and idfs is None:
+        stats_row, idfs = stats_and_idfs(dictionary, stats, all_terms)
+    elif stats_row is None:
+        stats_row = stats.collect()[0]
+        idfs = {t: idfs[t] for t in all_terms if t in idfs}
+    elif idfs is None:
         idfs = query_idfs(dictionary, stats_row, all_terms)
     else:
         idfs = {t: idfs[t] for t in all_terms if t in idfs}
+    avgdl = float(stats_row["avgdl"])
     if not idfs:
         return spark.createDataFrame(
             [], schema="query_id string, doc_id long, score double"
@@ -736,34 +745,27 @@ def boolean_matches_ast(
     query_terms = values_df(
         spark, qrows, ["query_id", "term", "is_pos", "boost"]
     )
+    from spcht_spark.index.query import sql_double, sql_map
+
     postings = decode_blocks(blocks.filter(F.col("term").isin(list(idfs.keys()))))
-    idf_map = F.create_map(
-        *[x for t, v in sorted(idfs.items()) for x in (F.lit(t), F.lit(v))]
-    )
-    contrib = (
-        postings.join(F.broadcast(query_terms), "term")
-        .withColumn(
-            "contrib",
-            F.when(
-                F.col("is_pos"),
-                F.col("boost")  # Lucene per-term boost (term^2.5); 1.0 default
-                * idf_map[F.col("term")]
-                * (
-                    (F.col("tf") * F.lit(K1 + 1.0))
-                    / (
-                        F.col("tf")
-                        + F.lit(K1)
-                        * (F.lit(1.0 - B) + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
-                    )
-                ),
-            ).otherwise(F.lit(0.0)),
-        )
+    # single-expr contrib (idf map + BM25 + boost gate) and fold — one
+    # py4j call each instead of ~100 per-Column round-trips (see
+    # index.query.score_postings); doubles via repr()+CAST, bit-exact
+    idf_map = sql_map(sorted(idfs.items()), sql_double)
+    contrib = postings.join(F.broadcast(query_terms), "term").withColumn(
+        "contrib",
+        F.expr(
+            # Lucene per-term boost (term^2.5); 1.0 default
+            f"CASE WHEN is_pos THEN boost * {idf_map}[term] * "
+            f"((tf * {sql_double(K1 + 1.0)}) / (tf + {sql_double(K1)} * "
+            f"({sql_double(1.0 - B)} + {sql_double(B)} * (dl / {sql_double(avgdl)})))) "
+            "ELSE CAST(0.0 AS DOUBLE) END"
+        ),
     )
     g = contrib.groupBy("query_id", "doc_id").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["contrib"],
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(term, contrib))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)"
         ).alias("score"),
         F.collect_set("term").alias("present"),
     )
@@ -903,11 +905,11 @@ def boolean_topk(
         # term-IN filters become in-memory subsetting of this frame)
         blocks = blocks.filter(F.col("term").isin(terms)).localCheckpoint()
 
-    # one stats job + ONE dictionary-idf job for the whole batch; the
-    # sub-engines subset the map instead of re-collecting (round-4
-    # regression: their serial driver jobs, not scoring, dominated)
-    stats_row = stats.collect()[0]
-    idfs = query_idfs(dictionary, stats_row, terms)
+    # ONE driver job for stats + dictionary idfs for the whole batch;
+    # the sub-engines subset the map instead of re-collecting (round-4
+    # regression: their serial driver jobs, not scoring, dominated;
+    # round-6: the two remaining collects fused into one job)
+    stats_row, idfs = stats_and_idfs(dictionary, stats, terms)
 
     parts: list[DataFrame] = []
     if ors:

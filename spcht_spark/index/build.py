@@ -47,8 +47,7 @@ from pyspark.sql import types as T
 
 from spcht_spark.index.compress import (
     BLOCK_SIZE,
-    delta_gaps_blocked,
-    varbyte_encode_blocks,
+    varbyte_encode_segments,
 )
 from spcht_spark.index.tokenize import tokens_arrow, tokens_jvm, tokens_ws
 from spcht_spark.oracle import B, K1
@@ -68,6 +67,11 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("tfs_bin", T.BinaryType(), False),
         T.StructField("dls_bin", T.BinaryType(), False),
         T.StructField("max_part", T.DoubleType(), False),
+        # per-block Σtf — lets the dictionary (df = Σ n_docs, cf = Σ cf)
+        # aggregate the tiny blocks table instead of re-shuffling every
+        # token row a second time (SPIMI: the posting write pass already
+        # sees each token once; guide §2.4 "remove shuffles outright")
+        T.StructField("cf", T.LongType(), False),
     ]
 )
 
@@ -147,6 +151,19 @@ def build_dictionary(tokens: DataFrame) -> DataFrame:
     ).withColumn("term_hash", F.xxhash64("term"))
 
 
+def dictionary_from_blocks(blocks: DataFrame) -> DataFrame:
+    """(term, df, cf, term_hash) aggregated from the posting blocks.
+
+    Value-identical to :func:`build_dictionary` (exact integer sums:
+    every doc appears in exactly one (term, shard) group, so Σ n_docs
+    over a term's blocks IS its df, and the cf lane sums the same tfs),
+    but the input is the blocks table — |postings|/128 rows — instead
+    of a second full shuffle of every token row."""
+    return blocks.groupBy("term").agg(
+        F.sum("n_docs").cast("long").alias("df"), F.sum("cf").alias("cf")
+    ).withColumn("term_hash", F.xxhash64("term"))
+
+
 def build_stats(doclens: DataFrame) -> DataFrame:
     # dl sums are exact int64, so avgdl = sum/count is deterministic.
     return doclens.agg(
@@ -174,50 +191,103 @@ def build_blocks(
     k1, b = K1, B
     bs = block_size
 
-    def make_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
-        # fully vectorized: one argsort + three whole-group varbyte
-        # passes sliced at block boundaries (no per-block Python work)
-        term = pdf["term"].iat[0]
-        shard = int(pdf["shard"].iat[0])
-        order = np.argsort(pdf["doc_id"].to_numpy(np.int64), kind="stable")
-        docs = pdf["doc_id"].to_numpy(np.int64)[order]
-        tfs = pdf["tf"].to_numpy(np.int64)[order]
-        dls = pdf["dl"].to_numpy(np.int64)[order]
-        parts = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * (dls / avgdl)))
+    def encode_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        # One numpy pass over a run of COMPLETE (term, shard) groups,
+        # sorted by (term, shard, doc_id): group bounds via flatnonzero,
+        # block bounds derived, one varbyte pass per lane sliced at
+        # block starts (varbyte_encode_segments). Bit-identical to the
+        # former per-group encode: same doc order, same per-group block
+        # boundaries, same delta reset at block starts (pinned by
+        # tests/test_index_update's byte-equality contract).
+        n = len(pdf)
+        terms = pdf["term"].to_numpy()
+        shards = pdf["shard"].to_numpy(np.int64)
+        docs = pdf["doc_id"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        dls = pdf["dl"].to_numpy(np.int64)
 
-        n = len(docs)
-        starts = np.arange(0, n, bs)
-        ends = np.minimum(starts + bs, n)
-        docs_bins = varbyte_encode_blocks(delta_gaps_blocked(docs, bs), bs)
-        tfs_bins = varbyte_encode_blocks(tfs.astype(np.uint64), bs)
-        dls_bins = varbyte_encode_blocks(dls.astype(np.uint64), bs)
-        max_parts = np.maximum.reduceat(parts, starts)
+        g_change = np.flatnonzero(
+            (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+        ) + 1
+        g_starts = np.concatenate(([0], g_change))
+        g_ends = np.concatenate((g_change, [n]))
+        # block starts: per group, every bs-th posting
+        blk_starts = np.concatenate(
+            [np.arange(s, e, bs) for s, e in zip(g_starts, g_ends)]
+        )
+        blk_group = np.repeat(
+            np.arange(len(g_starts)),
+            [(e - s + bs - 1) // bs for s, e in zip(g_starts, g_ends)],
+        )
+        blk_ends = np.minimum(blk_starts + bs, g_ends[blk_group])
+
+        parts = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * (dls / avgdl)))
+        gaps = np.diff(docs.astype(np.uint64), prepend=np.uint64(0))
+        gaps[blk_starts] = docs[blk_starts]  # delta chain resets per block
+        docs_bins = varbyte_encode_segments(gaps, blk_starts)
+        tfs_bins = varbyte_encode_segments(tfs.astype(np.uint64), blk_starts)
+        dls_bins = varbyte_encode_segments(dls.astype(np.uint64), blk_starts)
+        seq = np.arange(len(blk_starts), dtype=np.int64)
+        first_blk = np.concatenate(([0], np.cumsum(np.bincount(blk_group))))
         return pd.DataFrame(
             {
-                "term": term,
-                "term_hash": 0,
-                "shard": shard,
-                "block_seq": np.arange(len(starts), dtype=np.int32),
-                "first_doc": docs[starts],
-                "last_doc": docs[ends - 1],
-                "n_docs": (ends - starts).astype(np.int32),
+                "term": terms[blk_starts],
+                "term_hash": np.int64(0),
+                "shard": shards[blk_starts],
+                "block_seq": (seq - first_blk[blk_group]).astype(np.int32),
+                "first_doc": docs[blk_starts],
+                "last_doc": docs[blk_ends - 1],
+                "n_docs": (blk_ends - blk_starts).astype(np.int32),
                 "docs_bin": docs_bins,
                 "tfs_bin": tfs_bins,
                 "dls_bin": dls_bins,
-                "max_part": max_parts,
+                "max_part": np.maximum.reduceat(parts, blk_starts),
+                "cf": np.add.reduceat(tfs, blk_starts),
             }
         )
 
-    # Pin the grouping shuffle to the configured shuffle parallelism:
-    # AQE coalesces by bytes, but this stage's cost is the per-group
-    # Python varbyte encode — on a small-byte token shuffle AQE would
-    # collapse it to one task and serialize every group's encode
-    # (same fix as index.wand._pin_groups; guide §2.5).
+    def encode_partition(batches):
+        # Arrow hands a partition over as SEVERAL record batches, and a
+        # (term, shard) group may span them — carry the trailing
+        # (possibly incomplete) group into the next batch so every
+        # group is encoded whole. Memory stays bounded by batch size +
+        # one group (≤ shard_span postings), the same bound the
+        # applyInPandas shape had.
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if n == 0:
+                continue
+            terms = pdf["term"].to_numpy()
+            shards = pdf["shard"].to_numpy(np.int64)
+            g_change = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+            ) + 1
+            if len(g_change) == 0:
+                carry = pdf  # single (possibly continuing) group
+                continue
+            cut = int(g_change[-1])  # first row of the final group
+            carry = pdf.iloc[cut:].reset_index(drop=True)
+            yield encode_rows(pdf.iloc[:cut])
+        if carry is not None and len(carry):
+            yield encode_rows(carry)
+
+    # Keyed repartition pinned to the configured shuffle parallelism:
+    # AQE coalesces by bytes, but this stage's cost is the Python
+    # varbyte encode — on a small-byte token shuffle AQE would collapse
+    # it to one task and serialize the encode (same fix as
+    # index.wand._pin_groups; guide §2.5). The sort clusters each
+    # partition by (term, shard, doc) so the map pass sees every group
+    # contiguous and doc-ordered — the same grouping the applyInPandas
+    # exchange provided, minus the per-group Python dispatch.
     n_shuffle = int(tokens.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     blocks = (
         with_dl.repartition(n_shuffle, "term", "shard")
-        .groupBy("term", "shard")
-        .applyInPandas(make_blocks, schema=BLOCKS_SCHEMA)
+        .sortWithinPartitions("term", "shard", "doc_id")
+        .mapInPandas(encode_partition, schema=BLOCKS_SCHEMA)
     )
     # term_hash recomputed column-side (cheap, avoids carrying it through
     # the pandas group).
@@ -243,7 +313,6 @@ def build_index(
     # full token table (a corpus-wide pass, measured ~0.6 s at bench
     # scale). Materialize the narrow (doc_id, dl) table once.
     doclens = build_doclens(tokens).localCheckpoint()
-    dictionary = build_dictionary(tokens)
     # stats stays a lazy agg over the CHECKPOINTED doclens: every later
     # stats.collect()/count() (each query path does one) is then a tiny
     # agg over the materialized (doc_id, dl) table, not a corpus-wide
@@ -253,7 +322,16 @@ def build_index(
     # interleaved A/B in OPTIMIZATION_r06.md.)
     stats = build_stats(doclens)
     srow = stats.collect()[0]
-    blocks = build_blocks(tokens, float(srow["avgdl"]), shard_span=shard_span)
+    # blocks materialize once too: they ARE the index (compressed
+    # postings), every query decodes them, and without materialization
+    # each downstream action re-runs the whole encode shuffle. The
+    # dictionary then aggregates the tiny blocks table (its df/cf ride
+    # the cf lane) instead of re-shuffling every token row a second
+    # time — one full token pass per build, SPIMI-style.
+    blocks = build_blocks(
+        tokens, float(srow["avgdl"]), shard_span=shard_span
+    ).localCheckpoint()
+    dictionary = dictionary_from_blocks(blocks)
     return IndexTables(
         tokens, doclens, dictionary, stats, blocks,
         shard_span=shard_span, analyzer=analyzer, tokenizer=tokenizer,

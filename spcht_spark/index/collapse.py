@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spcht_spark.index.query import decode_blocks, query_idfs, score_postings
+from spcht_spark.index.query import decode_blocks, query_idfs, stats_and_idfs, score_postings
 
 
 def collapse_topk(
@@ -37,10 +37,9 @@ def collapse_topk(
     """(query_id, rank, doc_id, score, grp): top-k groups per query,
     each represented by its best (round(score,6) desc, doc_id asc)
     doc."""
-    stats_row = stats.collect()[0]
-    avgdl = float(stats_row["avgdl"])
     all_terms = sorted({t for _, ts, _ in queries for t in ts})
-    idfs = query_idfs(dictionary, stats_row, all_terms)
+    stats_row, idfs = stats_and_idfs(dictionary, stats, all_terms)
+    avgdl = float(stats_row["avgdl"])
     schema = "query_id string, rank int, doc_id long, score double, grp string"
     if not idfs:
         return spark.createDataFrame([], schema=schema)

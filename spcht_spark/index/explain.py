@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spcht_spark.index.query import decode_blocks, query_idfs
+from spcht_spark.index.query import decode_blocks, stats_and_idfs
 from spcht_spark.oracle import B, K1
 
 
@@ -38,9 +38,8 @@ def explain_scores(
     bit-identical to the engine's disjunctive score for these terms.
     ``doclens`` is accepted for API symmetry but unused — dl comes off
     the decoded blocks."""
-    stats_row = stats.collect()[0]
+    stats_row, idfs = stats_and_idfs(dictionary, stats, sorted(set(terms)))
     avgdl = float(stats_row["avgdl"])
-    idfs = query_idfs(dictionary, stats_row, sorted(set(terms)))
     if not idfs:
         return spark.createDataFrame(
             [],

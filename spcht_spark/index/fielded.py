@@ -27,8 +27,8 @@ from spcht_spark.index.build import IndexTables, build_index
 from spcht_spark.index.query import (
     TOPK_SCHEMA,
     decode_blocks,
-    query_idfs,
     score_postings,
+    stats_and_idfs,
     topk,
 )
 
@@ -75,10 +75,9 @@ def fielded_topk(
     parts = []
     for field in sorted(boosts):
         idx = indexes[field]
-        stats_row = idx.stats.collect()[0]
-        avgdl = float(stats_row["avgdl"])
         all_terms = sorted({t for _, ts, _ in queries for t in ts})
-        idfs = query_idfs(idx.dictionary, stats_row, all_terms)
+        stats_row, idfs = stats_and_idfs(idx.dictionary, idx.stats, all_terms)
+        avgdl = float(stats_row["avgdl"])
         if not idfs:
             continue
         qrows = [

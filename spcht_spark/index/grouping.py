@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spcht_spark.index.facets import matching_docs
-from spcht_spark.index.query import decode_blocks, query_idfs, score_postings
+from spcht_spark.index.query import decode_blocks, query_idfs, stats_and_idfs, score_postings
 
 # Subtotal sentinel for pivot rows aggregated over ALL f2 values: a
 # non-NULL marker keeps the driver-oracle value hash unambiguous
@@ -74,10 +74,9 @@ def group_topk(
     the blocks' dl lane). ``group_limit=1`` degenerates to field
     collapsing with a per-group count attached.
     """
-    stats_row = stats.collect()[0]
-    avgdl = float(stats_row["avgdl"])
     all_terms = sorted({t for _, ts, _ in queries for t in ts})
-    idfs = query_idfs(dictionary, stats_row, all_terms)
+    stats_row, idfs = stats_and_idfs(dictionary, stats, all_terms)
+    avgdl = float(stats_row["avgdl"])
     schema = (
         "query_id string, grp_rank int, grp string, grp_n long, "
         "doc_rank int, doc_id long, score double"

@@ -50,7 +50,7 @@ from spcht_spark.index.compress import (
     varbyte_decode,
     varbyte_encode_blocks,
 )
-from spcht_spark.index.query import TOPK_SCHEMA, query_idfs, topk
+from spcht_spark.index.query import TOPK_SCHEMA, stats_and_idfs, topk
 from spcht_spark.index.tokenize import tokens_positional
 from spcht_spark.oracle import B, K1
 
@@ -113,6 +113,7 @@ def build_positional_blocks(
                 "tfs_bin": tfs_bins,
                 "dls_bin": dls_bins,
                 "max_part": max_parts,
+                "cf": np.add.reduceat(tfs, starts),
                 "pos_bin": pos_bins,
             }
         )
@@ -353,10 +354,9 @@ def phrase_topk(
             )
         if slops[qid] < 0:
             raise ValueError(f"query {qid!r}: negative slop")
-    stats_row = stats.collect()[0]
-    avgdl = float(stats_row["avgdl"])
     all_terms = sorted({t for _, ts, _ in queries for t in ts})
-    idfs = query_idfs(dictionary, stats_row, all_terms)
+    stats_row, idfs = stats_and_idfs(dictionary, stats, all_terms)
+    avgdl = float(stats_row["avgdl"])
     queries = [q for q in queries if all(t in idfs for t in q[1])]
     if not queries:
         return spark.createDataFrame([], schema=TOPK_SCHEMA)

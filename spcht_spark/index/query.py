@@ -125,6 +125,60 @@ def query_idfs(
     return {t: idf_py(n_docs, dfs[t]) for t in terms if t in dfs}
 
 
+def stats_and_idfs(
+    dictionary: DataFrame, stats: DataFrame, terms: list[str]
+) -> tuple[dict, dict[str, float]]:
+    """(stats_row, idfs) in ONE driver job.
+
+    Every query batch needs the corpus stats row and the query terms'
+    dfs; collecting them separately is two serial driver barriers per
+    batch (each a job + an AQE/py4j gap — at page-of-10 scale the
+    barriers, not the scoring, dominate). A union of the two tiny
+    projections collects both in one job. Values are identical to
+    ``stats.collect()[0]`` + :func:`query_idfs` (exact ints in, same
+    math.log); the returned stats row is a plain dict supporting the
+    same ``row["n_docs"]`` subscripting."""
+    d = dictionary.filter(F.col("term").isin(terms)).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("double").alias("avgdl"),
+    )
+    s = stats.select(
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("long").alias("df"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("avgdl").cast("double").alias("avgdl"),
+    )
+    stats_row: dict = {}
+    dfs: dict[str, int] = {}
+    for r in s.unionByName(d).collect():
+        if r["term"] is None:
+            stats_row = {"n_docs": int(r["n_docs"]), "avgdl": float(r["avgdl"])}
+        else:
+            dfs[r["term"]] = int(r["df"])
+    n_docs = stats_row["n_docs"]
+    return stats_row, {t: idf_py(n_docs, dfs[t]) for t in terms if t in dfs}
+
+
+def sql_str(s: str) -> str:
+    """SQL string literal (single-quote escaped)."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def sql_double(v: float) -> str:
+    """SQL expression producing EXACTLY this float64: repr() round-trips
+    and CAST(string AS DOUBLE) parses it exactly."""
+    return f"CAST({sql_str(repr(float(v)))} AS DOUBLE)"
+
+
+def sql_map(items, val) -> str:
+    """``map('k', v, ...)`` literal from sorted (key, value) pairs."""
+    return "map(" + ", ".join(
+        f"{sql_str(k)}, {val(v)}" for k, v in items
+    ) + ")"
+
+
 def score_postings(
     postings: DataFrame,
     idfs: dict[str, float],
@@ -133,31 +187,30 @@ def score_postings(
 ) -> DataFrame:
     """(query_id, doc_id, score): contribution expression mirrors
     spcht_spark.oracle.term_score verbatim; summation is term-ordered.
-    ``postings`` must carry dl (decode_blocks does) — no doclens join."""
+    ``postings`` must carry dl (decode_blocks does) — no doclens join.
+
+    The idf map, BM25 expression and term-ordered fold are built as ONE
+    SQL expression string each: the per-Column py4j construction of the
+    same plan cost ~0.2-0.5 s of driver round-trips per query batch
+    (measured via cProfile — ~2300 py4j calls for one boolean batch;
+    guide §1.2 "per-task work" applies to the driver too). Float
+    literals go through repr()+CAST so the doubles are bit-identical to
+    the F.lit path."""
     if not idfs:
         raise ValueError("score_postings requires at least one known term")
-    idf_map = F.create_map(*[x for t, v in sorted(idfs.items()) for x in (F.lit(t), F.lit(v))])
-    contrib = (
-        postings.join(query_terms, "term")  # (term, query_id); small → broadcast by AQE
-        .withColumn("idf", idf_map[F.col("term")])
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * (
-                (F.col("tf") * F.lit(K1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(K1)
-                    * (F.lit(1.0 - B) + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
-                )
-            ),
-        )
+    idf_map = sql_map(sorted(idfs.items()), sql_double)
+    contrib_expr = (
+        f"{idf_map}[term] * ((tf * {sql_double(K1 + 1.0)}) / "
+        f"(tf + {sql_double(K1)} * ({sql_double(1.0 - B)} + "
+        f"{sql_double(B)} * (dl / {sql_double(avgdl)}))))"
+    )
+    contrib = postings.join(query_terms, "term").withColumn(
+        "contrib", F.expr(contrib_expr)
     )
     return contrib.groupBy("query_id", "doc_id").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["contrib"],
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(term, contrib))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)"
         ).alias("score"),
         F.count(F.lit(1)).alias("n_matched"),
     )
@@ -171,20 +224,32 @@ def topk(scores: DataFrame, ks: dict[str, int]) -> DataFrame:
     plain per-query window is ≤|queries| tasks — a straggler/OOM shape
     when the exact path scores a hot term over 10^12 docs). The union of
     per-salt top-k is a superset of the global top-k, so the final
-    narrow window over ≤ 64·k rows/query is exact."""
-    k_map = F.create_map(*[x for q, k in sorted(ks.items()) for x in (F.lit(q), F.lit(k))])
-    order = (F.desc("score"), F.asc("doc_id"))
-    w_salt = Window.partitionBy("query_id", "salt").orderBy(*order)
+    narrow window over ≤ 64·k rows/query is exact.
+
+    Built as three SQL expression strings (k map, two ranked windows) —
+    one py4j call each instead of ~150 per-Column round-trips; the
+    physical plan (two exchanges, same keys and order) is unchanged."""
+    k_map = sql_map(sorted(ks.items()), lambda k: str(int(k)))
     pre = (
-        scores.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(64)))
-        .withColumn("r1", F.row_number().over(w_salt))
-        .filter(F.col("r1") <= k_map[F.col("query_id")])
-        .drop("salt", "r1")
+        scores.withColumn(
+            "r1",
+            F.expr(
+                "row_number() OVER (PARTITION BY query_id, "
+                "pmod(xxhash64(doc_id), 64) ORDER BY score DESC, doc_id ASC)"
+            ),
+        )
+        .filter(F.expr(f"r1 <= {k_map}[query_id]"))
+        .drop("r1")
     )
-    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        pre.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_map[F.col("query_id")])
+        pre.withColumn(
+            "rank",
+            F.expr(
+                "row_number() OVER (PARTITION BY query_id "
+                "ORDER BY score DESC, doc_id ASC)"
+            ),
+        )
+        .filter(F.expr(f"rank <= {k_map}[query_id]"))
         .select("query_id", "rank", "doc_id", "score")
     )
 
@@ -227,10 +292,9 @@ def exact_topk(
     longer joined: blocks carry the dl lane and decode_blocks surfaces
     it, removing the postings-wide Exchange.
     """
-    stats_row = stats.collect()[0]
-    avgdl = float(stats_row["avgdl"])
     all_terms = sorted({t for _, ts, _ in queries for t in ts})
-    idfs = query_idfs(dictionary, stats_row, all_terms)
+    stats_row, idfs = stats_and_idfs(dictionary, stats, all_terms)
+    avgdl = float(stats_row["avgdl"])
     if not idfs:
         # No query term occurs in the corpus → empty result, stable schema.
         return spark.createDataFrame([], schema=TOPK_SCHEMA)
@@ -295,10 +359,9 @@ def boosted_topk(
     """
     if bf is None and boost is None:
         return exact_topk(spark, blocks, doclens, dictionary, stats, queries)
-    stats_row = stats.collect()[0]
-    avgdl = float(stats_row["avgdl"])
     all_terms = sorted({t for _, ts, _ in queries for t in ts})
-    idfs = query_idfs(dictionary, stats_row, all_terms)
+    stats_row, idfs = stats_and_idfs(dictionary, stats, all_terms)
+    avgdl = float(stats_row["avgdl"])
     if not idfs:
         return spark.createDataFrame([], schema=TOPK_SCHEMA)
     qrows = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts)) if t in idfs]

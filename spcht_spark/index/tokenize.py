@@ -241,12 +241,33 @@ def _token_filtered(exploded: DataFrame, analyzer: str | None) -> DataFrame:
 
 
 def tokens_ws(corpus: DataFrame, analyzer: str | None = None) -> DataFrame:
-    """Whitespace tokens (single-space split), pure Catalyst.
+    """Whitespace tokens (single-space split).
 
     Exists so the full index engine (build → compress → exact/WAND query)
     can be DuckDB-oracled by the driver: ``split(content, ' ')`` filtered
     non-empty is exactly ``string_split(text, ' ') ... WHERE term <> ''``
-    in ANSI SQL, whereas TOKEN_REGEX is not SQL-portable."""
+    in ANSI SQL, whereas TOKEN_REGEX is not SQL-portable.
+
+    With no token-level analyzer steps this routes to the Arrow map pass
+    (:func:`tokens_ws_arrow`): same rows, but tf AND dl come out of one
+    per-batch inversion with ZERO exchanges, where the Catalyst shape
+    pays a corpus-wide groupBy exchange plus a doc-partitioned window
+    exchange (guide §2.4 — both removable because docs never span
+    batches). The Catalyst twin (:func:`tokens_ws_jvm`) remains the
+    analyzer path and the equivalence cross-check."""
+    if not _has_token_steps(analyzer):
+        return tokens_ws_arrow(corpus)
+    return tokens_ws_jvm(corpus, analyzer)
+
+
+def _has_token_steps(analyzer: str | None) -> bool:
+    from spcht_spark.index.analyze import token_steps
+
+    return bool(token_steps(analyzer))
+
+
+def tokens_ws_jvm(corpus: DataFrame, analyzer: str | None = None) -> DataFrame:
+    """Whitespace tokens, pure Catalyst (explode → groupBy → dl window)."""
     exploded = (
         corpus.select(
             "doc_id", F.explode(F.split("content", " ")).alias("term")
@@ -258,6 +279,44 @@ def tokens_ws(corpus: DataFrame, analyzer: str | None = None) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def tokens_ws_arrow(corpus: DataFrame) -> DataFrame:
+    """Whitespace tokens via the Arrow batch inversion (SPIMI map side):
+    single-space split, empties dropped, tf = per-(doc, term) count and
+    dl = per-doc Σtf computed in the same batch — no shuffle at all.
+    Row-identical to :func:`tokens_ws_jvm` (pinned in
+    tests/test_tokenizer_unit.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def invert(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lists = pc.split_pattern(
+                pa.array(pdf["content"], type=pa.string()), pattern=" "
+            )
+            flat = pc.list_flatten(lists)
+            if len(flat) == 0:
+                continue
+            parents = pc.list_parent_indices(lists)
+            doc_ids = pc.take(pa.array(pdf["doc_id"], type=pa.int64()), parents)
+            tbl = pa.table({"doc_id": doc_ids, "term": flat})
+            tbl = tbl.filter(pc.not_equal(tbl["term"], ""))
+            if len(tbl) == 0:
+                continue
+            out = tbl.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+            out = out.rename_columns(["doc_id", "term", "tf"])
+            dl = out.group_by("doc_id").aggregate([("tf", "sum")])
+            dl = dl.rename_columns(["doc_id", "dl"])
+            yield (
+                out.join(dl, keys="doc_id")
+                .select(["doc_id", "term", "tf", "dl"])
+                .to_pandas()
+            )
+
+    return corpus.select("doc_id", "content").mapInPandas(invert, schema=TOKENS_SCHEMA)
 
 
 def tokens_jvm(corpus: DataFrame, analyzer: str | None = None) -> DataFrame:

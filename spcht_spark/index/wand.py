@@ -35,7 +35,13 @@ from pyspark.sql import types as T
 
 from spcht_spark.index.compress import BLOCK_SIZE as _BLOCK_SIZE
 from spcht_spark.index.compress import varbyte_decode
-from spcht_spark.index.query import TOPK_SCHEMA, query_idfs, topk, values_df
+from spcht_spark.index.query import (
+    TOPK_SCHEMA,
+    query_idfs,
+    stats_and_idfs,
+    topk,
+    values_df,
+)
 from spcht_spark.oracle import B, K1
 
 # θ-cascade pays its two extra driver barriers only when the batch
@@ -306,14 +312,17 @@ def and_topk(
 
     ``stats_row``/``idfs``: see :func:`wand_topk` — shared batch
     precompute from the boolean router."""
-    if stats_row is None:
-        stats_row = stats.collect()[0]
-    avgdl = float(stats_row["avgdl"])
     all_terms = sorted({t for _, ts, _ in queries for t in ts})
-    if idfs is None:
+    if stats_row is None and idfs is None:
+        stats_row, idfs = stats_and_idfs(dictionary, stats, all_terms)
+    elif stats_row is None:
+        stats_row = stats.collect()[0]
+        idfs = {t: idfs[t] for t in all_terms if t in idfs}
+    elif idfs is None:
         idfs = query_idfs(dictionary, stats_row, all_terms)
     else:
         idfs = {t: idfs[t] for t in all_terms if t in idfs}
+    avgdl = float(stats_row["avgdl"])
     queries = [q for q in queries if all(t in idfs for t in q[1])]
     if not queries:
         return spark.createDataFrame([], schema=TOPK_SCHEMA)
@@ -381,14 +390,17 @@ def wand_topk(
     batch's terms, so the routed sub-engines don't each re-run the
     stats/dictionary driver jobs — at page-of-10 scale those serial
     collects, not the scoring, dominate the wall clock."""
-    if stats_row is None:
-        stats_row = stats.collect()[0]
-    avgdl = float(stats_row["avgdl"])
     all_terms = sorted({t for _, ts, _ in queries for t in ts})
-    if idfs is None:
+    if stats_row is None and idfs is None:
+        stats_row, idfs = stats_and_idfs(dictionary, stats, all_terms)
+    elif stats_row is None:
+        stats_row = stats.collect()[0]
+        idfs = {t: idfs[t] for t in all_terms if t in idfs}
+    elif idfs is None:
         idfs = query_idfs(dictionary, stats_row, all_terms)
     else:
         idfs = {t: idfs[t] for t in all_terms if t in idfs}
+    avgdl = float(stats_row["avgdl"])
     if not idfs:
         return spark.createDataFrame([], schema=TOPK_SCHEMA)
     ks = {qid: k for qid, _, k in queries}

@@ -16,10 +16,10 @@ from spcht_spark.index.build import (
     DEFAULT_SHARD_SPAN,
     IndexTables,
     build_blocks,
-    build_dictionary,
     build_doclens,
     build_stats,
     build_tokens,
+    dictionary_from_blocks,
 )
 from spcht_spark.plans.workorder import Stage, WorkOrder, create_order, run_order
 
@@ -80,7 +80,10 @@ def index_order(
         return build_doclens(outs["tokens"])
 
     def dictionary(spark, outs):
-        return build_dictionary(outs["tokens"])
+        # from the COMMITTED blocks stage, not a second full token
+        # shuffle: df/cf ride the blocks' cf lane (value-identical
+        # exact-int aggregation, see build.dictionary_from_blocks)
+        return dictionary_from_blocks(outs["blocks"])
 
     def stats(spark, outs):
         return build_stats(outs["doclens"])
@@ -96,7 +99,6 @@ def index_order(
         Stage("ingest", ingest),
         Stage("tokens", tokens),
         Stage("doclens", doclens),
-        Stage("dictionary", dictionary, sort_cols=["term"]),
         Stage("stats", stats),
         # blocks sorted by term within partitions → parquet row-group
         # min/max stats prune the per-query `term IN (...)` scan.
@@ -104,6 +106,9 @@ def index_order(
             "blocks", blocks, sort_cols=["term", "shard", "block_seq"],
             repartition=blocks_partitions,
         ),
+        # dictionary AFTER blocks: it aggregates the committed blocks
+        # parquet (one token pass per build, SPIMI-style)
+        Stage("dictionary", dictionary, sort_cols=["term"]),
         # group-size histogram persisted WITH the build: the skew
         # evidence ships as part of the index, not a post-hoc query
         Stage("skew", skew, repartition=1),
