@@ -247,33 +247,54 @@ def build_blocks(
         )
 
     def encode_partition(batches):
-        # Arrow hands a partition over as SEVERAL record batches, and a
-        # (term, shard) group may span them — carry the trailing
-        # (possibly incomplete) group into the next batch so every
-        # group is encoded whole. Memory stays bounded by batch size +
-        # one group (≤ shard_span postings), the same bound the
-        # applyInPandas shape had.
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
+        # Arrow hands a partition over as MANY small record batches
+        # (spark.sql.execution.arrow.maxRecordsPerBatch); a
+        # (term, shard) group may span them, and encoding per tiny
+        # batch would pay the numpy/pandas call overhead ~per 2k rows.
+        # Buffer to ~64k rows, then encode all COMPLETE groups in one
+        # pass and carry the trailing (possibly incomplete) group.
+        # Memory stays bounded by the buffer + one group (≤ shard_span
+        # postings) — the same order as the applyInPandas shape had.
+        buf: list[pd.DataFrame] = []
+        buffered = 0
+        target = 1 << 16
+
+        def drain(final: bool):
+            nonlocal buf, buffered
+            pdf = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
             n = len(pdf)
             if n == 0:
-                continue
+                buf, buffered = [], 0
+                return None
+            if final:
+                buf, buffered = [], 0
+                return encode_rows(pdf)
             terms = pdf["term"].to_numpy()
             shards = pdf["shard"].to_numpy(np.int64)
             g_change = np.flatnonzero(
                 (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
             ) + 1
             if len(g_change) == 0:
-                carry = pdf  # single (possibly continuing) group
-                continue
+                buf, buffered = [pdf], n  # one (possibly continuing) group
+                return None
             cut = int(g_change[-1])  # first row of the final group
             carry = pdf.iloc[cut:].reset_index(drop=True)
-            yield encode_rows(pdf.iloc[:cut])
-        if carry is not None and len(carry):
-            yield encode_rows(carry)
+            buf, buffered = [carry], len(carry)
+            return encode_rows(pdf.iloc[:cut])
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            buf.append(pdf)
+            buffered += len(pdf)
+            if buffered >= target:
+                out = drain(final=False)
+                if out is not None:
+                    yield out
+        if buffered:
+            out = drain(final=True)
+            if out is not None:
+                yield out
 
     # Keyed repartition pinned to the configured shuffle parallelism:
     # AQE coalesces by bytes, but this stage's cost is the Python
