@@ -98,7 +98,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = sorted({t for _, ts in DOC_QUERIES for t in ts})
     tfq = tf.filter(F.col("term").isin(qterms))
     dft = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    from spcht_spark.index.query import values_df
+    from spcht_spark.index.query import sql_double, values_df
 
     # inline VALUES (pure-JVM LocalRelation) instead of a parallelize-
     # backed createDataFrame: the latter adds a python-task stage to
@@ -107,22 +107,22 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, [(qid, t) for qid, ts in DOC_QUERIES for t in ts],
         ["query_id", "term"],
     )
+    # BM25 contribution + windows as single expr strings (one py4j call
+    # each instead of ~800 for the per-Column build — measured 0.43 s of
+    # plan construction per call; see index.query.score_postings).
+    # Doubles via repr()+CAST (bit-exact; bare SQL decimals would parse
+    # as DECIMAL and change the arithmetic).
+    D = sql_double
+    contrib = (
+        f"ln({D(1.0)} + (n_docs - df + {D(0.5)}) / (df + {D(0.5)}))"
+        f" * (tf * {D(2.2)})"
+        f" / (tf + {D(1.2)} * ({D(0.25)} + {D(0.75)} * (dl / avgdl)))"
+    )
     scored = (
         q.join(dft, "term")
         .join(tfq, "term")
         .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "contrib",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-            )
-            * (F.col("tf") * F.lit(2.2))
-            / (
-                F.col("tf")
-                + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
-            ),
-        )
+        .withColumn("contrib", F.expr(contrib))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("contrib").alias("raw"))
     )
@@ -131,17 +131,26 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plain per-query window is ≤|queries| tasks — a straggler/OOM shape
     # at 100× corpus). Union of per-salt top-k ⊇ global top-k, so the
     # final narrow window over ≤ 64·k rows/query is exact.
-    order = (F.desc(F.round("raw", 6)), F.asc("doc_id"))
-    w_salt = Window.partitionBy("query_id", "salt").orderBy(*order)
     pre = (
-        scored.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(64)))
-        .withColumn("r1", F.row_number().over(w_salt))
+        scored.withColumn(
+            "r1",
+            F.expr(
+                "row_number() OVER (PARTITION BY query_id, "
+                "pmod(xxhash64(doc_id), 64) "
+                "ORDER BY round(raw, 6) DESC, doc_id ASC)"
+            ),
+        )
         .filter(F.col("r1") <= DOC_K)
-        .drop("salt", "r1")
+        .drop("r1")
     )
-    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        pre.withColumn("rank", F.row_number().over(w))
+        pre.withColumn(
+            "rank",
+            F.expr(
+                "row_number() OVER (PARTITION BY query_id "
+                "ORDER BY round(raw, 6) DESC, doc_id ASC)"
+            ),
+        )
         .filter(F.col("rank") <= DOC_K)
         .select("query_id", "rank", "doc_id", F.round("raw", 4).alias("score"))
     )

@@ -604,6 +604,46 @@ def ast_predicate(ast: Ast, terms_col: Column) -> Column:
     return out
 
 
+def ast_to_spark_sql(ast: Ast, terms_expr: str = "present") -> str:
+    """AST → Spark SQL predicate string, semantics-identical to
+    :func:`ast_predicate` (same coalesce-to-FALSE on NULL attr clauses,
+    same operator tree). Built so a routed batch's per-query predicate
+    dispatch is ONE parsed expression instead of a per-Column py4j
+    construction (~2.5 ms per Column op in classic mode — the plan
+    build, not the plan, was the cost)."""
+    from spcht_spark.index.query import sql_double, sql_str
+
+    kind = ast[0]
+    if kind == "term":
+        return f"array_contains({terms_expr}, {sql_str(ast[1])})"
+    if kind == "eq":
+        f = "`" + str(ast[1]).replace("`", "``") + "`"
+        return f"coalesce(CAST({f} AS STRING) = {sql_str(ast[2])}, false)"
+    if kind == "range":
+        _, fld, lo, hi = ast
+        f = "`" + str(fld).replace("`", "``") + "`"
+        if _range_is_str(lo, hi):
+            c = f"CAST({f} AS STRING)"
+            lit = sql_str
+        else:
+            c = f"CAST({f} AS DOUBLE)"
+            lit = sql_double
+        out = "true"
+        if lo is not None:
+            out = f"({out} AND ({c} >= {lit(lo)}))"
+        if hi is not None:
+            out = f"({out} AND ({c} <= {lit(hi)}))"
+        return f"coalesce({out}, false)"
+    if kind == "not":
+        return f"(NOT {ast_to_spark_sql(ast[1], terms_expr)})"
+    parts = [ast_to_spark_sql(a, terms_expr) for a in ast[1]]
+    op = " AND " if kind == "and" else " OR "
+    out = parts[0]
+    for p in parts[1:]:
+        out = f"({out}{op}{p})"
+    return out
+
+
 def ast_to_duckdb(
     ast: Ast, terms_expr: str = "terms", attr_prefix: str = "d."
 ) -> str:
@@ -775,13 +815,18 @@ def boolean_matches_ast(
             "doc_id",
             "left",
         )
-    # one predicate Column for all queries: CASE WHEN query_id=... THEN ast_i
-    pred = F.lit(False)
+    # one predicate for all queries (CASE WHEN query_id=... THEN ast_i),
+    # rendered as a single SQL string — same nesting as the old
+    # when/otherwise fold (later queries checked first)
+    from spcht_spark.index.query import sql_str
+
+    pred_sql = "false"
     for qid, ast, _ in parsed:
-        pred = F.when(
-            F.col("query_id") == qid, ast_predicate(ast, F.col("present"))
-        ).otherwise(pred)
-    admissible = g.filter(pred).select("query_id", "doc_id", "score")
+        pred_sql = (
+            f"CASE WHEN query_id = {sql_str(qid)} THEN "
+            f"({ast_to_spark_sql(ast)}) ELSE ({pred_sql}) END"
+        )
+    admissible = g.filter(F.expr(pred_sql)).select("query_id", "doc_id", "score")
     if doc_filter is not None:
         # Solr fq semantics: restrict candidates AFTER scoring — the
         # filter never changes idf/avgdl. Semi-join on candidate rows

@@ -42,18 +42,14 @@ def highlight(
     that split. A hit whose content contains no query term (possible
     for phrase/filtered callers) gets a NULL snippet, like Solr
     returning no highlight for a field."""
-    terms_map = F.create_map(
-        *[
-            x
-            for qid, ts in sorted(queries)
-            for x in (F.lit(qid), F.array(*[F.lit(t) for t in sorted(set(ts))]))
-        ]
-    )
+    qt = _terms_map_sql(queries) + "[query_id]"
     # Tokenize AFTER the join: the broadcast-hash join streams the doc
     # store, so a split in the pre-join projection runs over EVERY
     # stored doc to serve a k-row page (a full corpus re-tokenization
     # at scale — guide §2.3 "project before the exchange", inverted:
     # compute after the filter). Post-join it touches k·|queries| rows.
+    # All snippet math is single expr strings (a Column op costs ~2.5 ms
+    # of driver time in classic mode; the per-Column build dominated).
     docs = doc_store.select(
         F.col(id_col).alias("doc_id"), F.col(content_col).alias("_content")
     )
@@ -61,30 +57,39 @@ def highlight(
         F.broadcast(hits)
         .join(docs, "doc_id")
         .withColumn("_toks", F.split(F.col("_content"), " "))
-        .drop("_content")
-    )
-    qterms: Column = terms_map[F.col("query_id")]
-    # 1-based position of the first query-term occurrence (array_min
-    # skips the NULLs left by non-matching positions).
-    pos = F.array_min(
-        F.transform(
-            F.col("_toks"),
-            lambda t, i: F.when(F.array_contains(qterms, t), i + 1),
+        # 1-based position of the first query-term occurrence
+        # (array_min skips the NULLs left by non-matching positions)
+        .withColumn(
+            "_pos",
+            F.expr(
+                f"array_min(transform(_toks, (t, i) -> "
+                f"CASE WHEN array_contains({qt}, t) THEN i + 1 END))"
+            ),
         )
     )
-    lo = F.greatest(F.lit(1), pos - window)
-    snip = F.slice(F.col("_toks"), lo, 2 * window + 1)
-    emph = F.transform(
-        snip,
-        lambda t: F.when(
-            F.array_contains(qterms, t),
-            F.concat(F.lit(tag_pre), t, F.lit(tag_post)),
-        ).otherwise(t),
-    )
+    from spcht_spark.index.query import sql_str
+
     # greatest() skips NULLs, so a no-match pos would silently anchor the
     # window at 1 — gate explicitly: no occurrence → NULL snippet.
-    snippet = F.when(pos.isNotNull(), F.array_join(emph, " "))
-    return j.withColumn("snippet", snippet).drop("_toks")
+    snippet = (
+        f"CASE WHEN _pos IS NOT NULL THEN array_join(transform("
+        f"slice(_toks, greatest(1, _pos - {int(window)}), {2 * int(window) + 1}), "
+        f"t -> CASE WHEN array_contains({qt}, t) "
+        f"THEN concat({sql_str(tag_pre)}, t, {sql_str(tag_post)}) ELSE t END"
+        f"), ' ') END"
+    )
+    return j.withColumn("snippet", F.expr(snippet)).drop("_content", "_toks", "_pos")
+
+
+def _terms_map_sql(queries: list[tuple[str, list[str]]]) -> str:
+    """``map('qid', array('t1', ...), ...)`` literal, sorted as the old
+    create_map build was."""
+    from spcht_spark.index.query import sql_str
+
+    return "map(" + ", ".join(
+        f"{sql_str(qid)}, array({', '.join(sql_str(t) for t in sorted(set(ts)))})"
+        for qid, ts in sorted(queries)
+    ) + ")"
 
 
 def highlight_fragments(
@@ -114,15 +119,11 @@ def highlight_fragments(
     higher-order functions over the token split — ``array_position``
     per query term (|terms| probes, not |tokens| passes), never a
     corpus scan, no Python."""
-    terms_map = F.create_map(
-        *[
-            x
-            for qid, ts in sorted(queries)
-            for x in (F.lit(qid), F.array(*[F.lit(t) for t in sorted(set(ts))]))
-        ]
-    )
-    # split after the join — page rows only, never the streamed corpus
-    # (see highlight)
+    from spcht_spark.index.query import sql_str
+
+    qt = _terms_map_sql(queries) + "[query_id]"
+    # split after the join — page rows only, never the streamed corpus;
+    # fragment math as one expr string (see highlight)
     docs = doc_store.select(
         F.col(id_col).alias("doc_id"), F.col(content_col).alias("_content")
     )
@@ -130,37 +131,18 @@ def highlight_fragments(
         F.broadcast(hits)
         .join(docs, "doc_id")
         .withColumn("_toks", F.split(F.col("_content"), " "))
-        .drop("_content")
     )
-    qterms: Column = terms_map[F.col("query_id")]
-    toks = F.col("_toks")
     # first occurrence of each query term (0 = absent), ordered by
     # position, capped at max_snippets anchors
-    anchors = F.slice(
-        F.array_sort(
-            F.filter(
-                F.transform(qterms, lambda t: F.array_position(toks, t)),
-                lambda p: p > 0,
-            )
-        ),
-        1,
-        max_snippets,
+    frags = (
+        f"transform("
+        f"slice(array_sort(filter(transform({qt}, "
+        f"t -> array_position(_toks, t)), p -> p > 0)), 1, {int(max_snippets)}), "
+        f"a -> array_join(transform("
+        f"slice(_toks, CAST(greatest(1, a - {int(window)}) AS INT), "
+        f"{2 * int(window) + 1}), "
+        f"t -> CASE WHEN array_contains({qt}, t) "
+        f"THEN concat({sql_str(tag_pre)}, t, {sql_str(tag_post)}) ELSE t END"
+        f"), ' '))"
     )
-    frags = F.transform(
-        anchors,
-        lambda a: F.array_join(
-            F.transform(
-                F.slice(
-                    toks,
-                    F.greatest(F.lit(1), a - window).cast("int"),
-                    2 * window + 1,
-                ),
-                lambda t: F.when(
-                    F.array_contains(qterms, t),
-                    F.concat(F.lit(tag_pre), t, F.lit(tag_post)),
-                ).otherwise(t),
-            ),
-            " ",
-        ),
-    )
-    return j.withColumn("snippets", frags).drop("_toks")
+    return j.withColumn("snippets", F.expr(frags)).drop("_content", "_toks")
