@@ -978,7 +978,10 @@ def boolean_topk(
             doc_filter=doc_filter, attrs=attrs,
             stats_row=stats_row, idfs=idfs,
         )
-        parts.append(topk(matches, {qid: k for qid, _, k in full}))
+        parts.append(
+            topk(matches, {qid: k for qid, _, k in full},
+                 n_docs=int(stats_row["n_docs"]))
+        )
     if not parts:
         from spcht_spark.index.query import TOPK_SCHEMA
 

@@ -216,7 +216,19 @@ def score_postings(
     )
 
 
-def topk(scores: DataFrame, ks: dict[str, int]) -> DataFrame:
+# Candidate sets are bounded by the corpus: below this many docs a
+# query's full candidate list fits one reducer comfortably and the salt
+# pre-stage is a pure extra exchange (~0.15-0.2 s of stage overhead per
+# call at page scale). Above it, the two-stage shape is what keeps a
+# hot term's top-k from becoming a single-reducer straggler at 10^12
+# docs. The gate input is n_docs from the already-collected stats row —
+# no extra job, and the decision scales with the DATA, not the host.
+SALT_MIN_DOCS = 1 << 20
+
+
+def topk(
+    scores: DataFrame, ks: dict[str, int], n_docs: int | None = None
+) -> DataFrame:
     """Per-query top-k with deterministic tie-break (score desc, doc asc).
 
     Two-stage: a per-(query, doc-hash-salt) partial top-k runs first so
@@ -224,23 +236,26 @@ def topk(scores: DataFrame, ks: dict[str, int]) -> DataFrame:
     plain per-query window is ≤|queries| tasks — a straggler/OOM shape
     when the exact path scores a hot term over 10^12 docs). The union of
     per-salt top-k is a superset of the global top-k, so the final
-    narrow window over ≤ 64·k rows/query is exact.
+    narrow window over ≤ 64·k rows/query is exact. The pre-stage is
+    semantically a no-op, so it is SKIPPED when the caller proves the
+    corpus is small (``n_docs`` < SALT_MIN_DOCS) — same rows out.
 
-    Built as three SQL expression strings (k map, two ranked windows) —
-    one py4j call each instead of ~150 per-Column round-trips; the
-    physical plan (two exchanges, same keys and order) is unchanged."""
+    Built as SQL expression strings (k map, ranked windows) — one py4j
+    call each instead of ~150 per-Column round-trips."""
     k_map = sql_map(sorted(ks.items()), lambda k: str(int(k)))
-    pre = (
-        scores.withColumn(
-            "r1",
-            F.expr(
-                "row_number() OVER (PARTITION BY query_id, "
-                "pmod(xxhash64(doc_id), 64) ORDER BY score DESC, doc_id ASC)"
-            ),
+    pre = scores
+    if n_docs is None or n_docs >= SALT_MIN_DOCS:
+        pre = (
+            scores.withColumn(
+                "r1",
+                F.expr(
+                    "row_number() OVER (PARTITION BY query_id, "
+                    "pmod(xxhash64(doc_id), 64) ORDER BY score DESC, doc_id ASC)"
+                ),
+            )
+            .filter(F.expr(f"r1 <= {k_map}[query_id]"))
+            .drop("r1")
         )
-        .filter(F.expr(f"r1 <= {k_map}[query_id]"))
-        .drop("r1")
-    )
     return (
         pre.withColumn(
             "rank",
@@ -329,7 +344,7 @@ def exact_topk(
             *[x for qid, n in sorted(mm.items()) for x in (F.lit(qid), F.lit(n))]
         )
         scores = scores.filter(F.col("n_matched") >= mm_map[F.col("query_id")])
-    return topk(scores, {qid: k for qid, _, k in queries})
+    return topk(scores, {qid: k for qid, _, k in queries}, n_docs=int(stats_row["n_docs"]))
 
 
 def boosted_topk(
@@ -380,4 +395,4 @@ def boosted_topk(
     if bf is not None:
         expr = expr + F.coalesce(bf[0].cast("double"), F.lit(0.0))
     rescored = joined.select("query_id", "doc_id", expr.alias("score"))
-    return topk(rescored, {qid: k for qid, _, k in queries})
+    return topk(rescored, {qid: k for qid, _, k in queries}, n_docs=int(stats_row["n_docs"]))

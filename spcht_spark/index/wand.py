@@ -348,7 +348,7 @@ def and_topk(
     )
     if doc_filter is not None:
         cand = cand.join(doc_filter.select("doc_id"), "doc_id", "semi")
-    return topk(cand, ks)
+    return topk(cand, ks, n_docs=int(stats_row["n_docs"]))
 
 
 def wand_topk(
@@ -465,7 +465,7 @@ def wand_topk(
         cand = hit.groupBy("query_id", "shard").cogroup(ga).applyInPandas(
             run_filtered, schema=_CAND_SCHEMA
         )
-        return topk(cand, ks)
+        return topk(cand, ks, n_docs=int(stats_row["n_docs"]))
 
     if theta_cascade:
         # Measured (BENCH.md): ~30% fewer block decodes on 2-term queries
@@ -506,7 +506,7 @@ def wand_topk(
         cand = _pin_groups(hit).groupBy("query_id", "shard").applyInPandas(
             runner({}), schema=_CAND_SCHEMA
         )
-        return topk(cand, ks)
+        return topk(cand, ks, n_docs=int(stats_row["n_docs"]))
 
     # two-phase execution re-reads `hit` (seed wave, then the rest) —
     # materialize it once; the single-phase path above stays a pure
@@ -544,4 +544,4 @@ def wand_topk(
     rest_cand = _pin_groups(rest).groupBy("query_id", "shard").applyInPandas(
         runner(theta0s), schema=_CAND_SCHEMA
     )
-    return topk(seed_cand.unionByName(rest_cand), ks)
+    return topk(seed_cand.unionByName(rest_cand), ks, n_docs=int(stats_row["n_docs"]))
