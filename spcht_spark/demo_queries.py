@@ -44,11 +44,65 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     out of the same per-batch inversion with zero exchanges, where the
     previous explode→groupBy shape shuffled every token row and left dl
     to a separate corpus-wide aggregation+join in each consumer (guide
-    §2.4). Row-identical to the SQL oracle's string_split/GROUP BY."""
+    §2.4). Row-identical to the SQL oracle's string_split/GROUP BY.
+
+    Size-gated underpartitioned-input guard (guide §2.5, "derive from
+    input size"): a documents parquet written as one row group is ONE
+    input split no matter what maxPartitionBytes says, and mapInPandas
+    preserves partitioning — the whole tokenize pass then runs as a
+    SINGLE task (event log: a 1-task stage under every bm25_topk /
+    term_stats call). Above _TOKENIZE_SPLIT_MIN_BYTES the serial pass
+    dominates and a round-robin shuffle to ≥ parallelism partitions
+    wins outright; below it (the sf0.1 table is ~4 MB) the shuffle plus
+    the extra per-task overhead of wide downstream stages cost MORE
+    than the ~0.4 s serial tokenize saved (interleaved A/B,
+    OPTIMIZATION_r06.md), so the guard stays off. The gate reads the
+    file size from the filesystem — no Spark job."""
     from spcht_spark.index.tokenize import tokens_ws_arrow
 
-    docs = _t(spark, sf_dir, "documents")
-    return tokens_ws_arrow(docs.select("doc_id", F.col("text").alias("content")))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    nbytes = _path_bytes(f"{sf_dir}/documents.parquet")
+    if nbytes >= _TOKENIZE_SPLIT_MIN_BYTES:
+        try:
+            par = spark.sparkContext.defaultParallelism
+            n_in = docs.rdd.getNumPartitions()
+        except Exception:  # Spark Connect: no sparkContext/rdd — skip
+            par = n_in = None
+        if n_in is not None and n_in < par:
+            # ~16 MB of input text per task, at least one wave of cores
+            docs = docs.repartition(
+                min(par * 4, max(par, nbytes // (16 << 20)))
+            )
+    return tokens_ws_arrow(docs)
+
+
+# Parquet compresses the text ~3-4x, so 32 MB of file ≈ 100+ MB of
+# content ≈ seconds of single-core tokenize — the break-even where the
+# repartition shuffle starts paying for itself.
+_TOKENIZE_SPLIT_MIN_BYTES = 32 << 20
+_PATH_BYTES_MEMO: dict[str, int] = {}
+
+
+def _path_bytes(path: str) -> int:
+    """Total bytes under a local file/directory path (memoized; 0 when
+    unreadable — e.g. a non-local filesystem, where the guard simply
+    stays off and the scan's own split logic decides)."""
+    hit = _PATH_BYTES_MEMO.get(path)
+    if hit is None:
+        hit = 0
+        try:
+            if os.path.isfile(path):
+                hit = os.path.getsize(path)
+            elif os.path.isdir(path):
+                for root, _dirs, files in os.walk(path):
+                    for f in files:
+                        hit += os.path.getsize(os.path.join(root, f))
+        except OSError:
+            hit = 0
+        _PATH_BYTES_MEMO[path] = hit
+    return hit
 
 
 _TOK_SQL = """
