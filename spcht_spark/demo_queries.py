@@ -317,17 +317,13 @@ def _rerank_rounded(out: DataFrame) -> DataFrame:
     rounded-deterministic order (round(score,6) desc, doc asc). Engine
     queries overfetch k+5 so boundary ties resolve inside this window.
     (Single-expr window: one py4j call, not ~30 — see index.query.topk.)"""
-    return (
-        out.withColumn(
-            "rank",
-            F.expr(
-                "row_number() OVER (PARTITION BY query_id "
-                "ORDER BY round(score, 6) DESC, doc_id ASC)"
-            ),
-        )
-        .filter(F.col("rank") <= DOC_K)
-        .select("query_id", "rank", "doc_id", F.round("score", 4).alias("score"))
-    )
+    return out.selectExpr(
+        "query_id",
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 6) DESC, doc_id ASC) AS rank",
+        "doc_id",
+        "round(score, 4) AS score",
+    ).where(f"rank <= {DOC_K}")
 
 
 def q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2208,7 +2204,7 @@ def q_index_search_request(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _persisted_index(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
-    fq = docs.filter(F.col("lang").isin("en", "de")).select("doc_id")
+    fq = docs.where("lang IN ('en', 'de')").selectExpr("doc_id")
     resp = search(
         spark, idx, docs.withColumnRenamed("text", "content"),
         SearchRequest(
@@ -2216,17 +2212,15 @@ def q_index_search_request(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         query_id="sr0",
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round("score", 6)), F.asc("doc_id")
-    )
-    return (
-        resp.hits.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= DOC_K)
-        .select(
-            "query_id", F.col("rk").alias("rank"), "doc_id",
-            F.round("score", 4).alias("score"), "lang", "snippet",
-        )
-    )
+    return resp.hits.selectExpr(
+        "query_id",
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 6) DESC, doc_id ASC) AS rank",
+        "doc_id",
+        "round(score, 4) AS score",
+        "lang",
+        "snippet",
+    ).where(f"rank <= {DOC_K}")
 
 
 def _search_request_sql() -> str:

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from spcht_spark.index.query import (
     decode_blocks,
     query_idfs,
+    sql_in,
     stats_and_idfs,
     topk,
     values_df,
@@ -787,34 +788,28 @@ def boolean_matches_ast(
     )
     from spcht_spark.index.query import sql_double, sql_map
 
-    postings = decode_blocks(blocks.filter(F.col("term").isin(list(idfs.keys()))))
+    postings = decode_blocks(blocks.where(f"term IN ({sql_in(sorted(idfs))})"))
     # single-expr contrib (idf map + BM25 + boost gate) and fold — one
     # py4j call each instead of ~100 per-Column round-trips (see
     # index.query.score_postings); doubles via repr()+CAST, bit-exact
     idf_map = sql_map(sorted(idfs.items()), sql_double)
-    contrib = postings.join(F.broadcast(query_terms), "term").withColumn(
-        "contrib",
-        F.expr(
-            # Lucene per-term boost (term^2.5); 1.0 default
-            f"CASE WHEN is_pos THEN boost * {idf_map}[term] * "
-            f"((tf * {sql_double(K1 + 1.0)}) / (tf + {sql_double(K1)} * "
-            f"({sql_double(1.0 - B)} + {sql_double(B)} * (dl / {sql_double(avgdl)})))) "
-            "ELSE CAST(0.0 AS DOUBLE) END"
-        ),
+    contrib = postings.join(F.broadcast(query_terms), "term").selectExpr(
+        "*",
+        # Lucene per-term boost (term^2.5); 1.0 default
+        f"CASE WHEN is_pos THEN boost * {idf_map}[term] * "
+        f"((tf * {sql_double(K1 + 1.0)}) / (tf + {sql_double(K1)} * "
+        f"({sql_double(1.0 - B)} + {sql_double(B)} * (dl / {sql_double(avgdl)})))) "
+        "ELSE CAST(0.0 AS DOUBLE) END AS contrib",
     )
     g = contrib.groupBy("query_id", "doc_id").agg(
         F.expr(
             "aggregate(array_sort(collect_list(struct(term, contrib))), "
             "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)"
         ).alias("score"),
-        F.collect_set("term").alias("present"),
+        F.expr("collect_set(term)").alias("present"),
     )
     if need_fields:
-        g = g.join(
-            attrs.select("doc_id", *[F.col(c) for c in need_fields]),
-            "doc_id",
-            "left",
-        )
+        g = g.join(attrs.selectExpr("doc_id", *need_fields), "doc_id", "left")
     # one predicate for all queries (CASE WHEN query_id=... THEN ast_i),
     # rendered as a single SQL string — same nesting as the old
     # when/otherwise fold (later queries checked first)
@@ -826,7 +821,7 @@ def boolean_matches_ast(
             f"CASE WHEN query_id = {sql_str(qid)} THEN "
             f"({ast_to_spark_sql(ast)}) ELSE ({pred_sql}) END"
         )
-    admissible = g.filter(F.expr(pred_sql)).select("query_id", "doc_id", "score")
+    admissible = g.where(pred_sql).selectExpr("query_id", "doc_id", "score")
     if doc_filter is not None:
         # Solr fq semantics: restrict candidates AFTER scoring — the
         # filter never changes idf/avgdl. Semi-join on candidate rows
@@ -948,7 +943,7 @@ def boolean_topk(
     if sum(1 for route in (ors, ands, full) if route) > 1:
         # one pruned scan, shared by every sub-engine (their own
         # term-IN filters become in-memory subsetting of this frame)
-        blocks = blocks.filter(F.col("term").isin(terms)).localCheckpoint()
+        blocks = blocks.where(f"term IN ({sql_in(terms)})").localCheckpoint()
 
     # ONE driver job for stats + dictionary idfs for the whole batch;
     # the sub-engines subset the map instead of re-collecting (round-4

@@ -21,7 +21,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spcht_spark.index.query import decode_blocks, query_idfs, stats_and_idfs, score_postings
+from spcht_spark.index.query import (
+    decode_blocks,
+    query_idfs,
+    score_postings,
+    sql_in,
+    stats_and_idfs,
+    values_df,
+)
 
 
 def collapse_topk(
@@ -46,8 +53,8 @@ def collapse_topk(
     qrows = [
         (qid, t) for qid, ts, _ in queries for t in sorted(set(ts)) if t in idfs
     ]
-    query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
-    postings = decode_blocks(blocks.filter(F.col("term").isin(list(idfs.keys()))))
+    query_terms = values_df(spark, qrows, ["query_id", "term"])
+    postings = decode_blocks(blocks.where(f"term IN ({sql_in(sorted(idfs))})"))
     scores = score_postings(postings, idfs, avgdl, query_terms)
     j = scores.join(
         attrs.select("doc_id", F.col(group_col).cast("string").alias("grp")),

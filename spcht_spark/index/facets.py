@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from spcht_spark.index.query import decode_blocks, values_df
+from spcht_spark.index.query import decode_blocks, sql_in, values_df
 
 FACET_SCHEMA = T.StructType(
     [
@@ -58,7 +58,7 @@ def matching_docs(
         )
     qrows = [(qid, t) for qid, ts in queries for t in sorted(set(ts))]
     query_terms = values_df(spark, qrows, ["query_id", "term"])
-    postings = decode_blocks(blocks.filter(F.col("term").isin(all_terms)))
+    postings = decode_blocks(blocks.where(f"term IN ({sql_in(all_terms)})"))
     return (
         postings.join(F.broadcast(query_terms), "term")
         .select("query_id", "doc_id")

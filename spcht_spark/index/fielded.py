@@ -28,8 +28,10 @@ from spcht_spark.index.query import (
     TOPK_SCHEMA,
     decode_blocks,
     score_postings,
+    sql_in,
     stats_and_idfs,
     topk,
+    values_df,
 )
 
 
@@ -83,9 +85,9 @@ def fielded_topk(
         qrows = [
             (qid, t) for qid, ts, _ in queries for t in sorted(set(ts)) if t in idfs
         ]
-        query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
+        query_terms = values_df(spark, qrows, ["query_id", "term"])
         postings = decode_blocks(
-            idx.blocks.filter(F.col("term").isin(list(idfs.keys())))
+            idx.blocks.where(f"term IN ({sql_in(sorted(idfs))})")
         )
         scores = score_postings(postings, idfs, avgdl, query_terms)
         parts.append(

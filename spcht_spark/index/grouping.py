@@ -38,7 +38,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spcht_spark.index.facets import matching_docs
-from spcht_spark.index.query import decode_blocks, query_idfs, stats_and_idfs, score_postings
+from spcht_spark.index.query import (
+    decode_blocks,
+    query_idfs,
+    score_postings,
+    sql_in,
+    stats_and_idfs,
+    values_df,
+)
 
 # Subtotal sentinel for pivot rows aggregated over ALL f2 values: a
 # non-NULL marker keeps the driver-oracle value hash unambiguous
@@ -86,8 +93,8 @@ def group_topk(
     qrows = [
         (qid, t) for qid, ts, _ in queries for t in sorted(set(ts)) if t in idfs
     ]
-    query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
-    postings = decode_blocks(blocks.filter(F.col("term").isin(list(idfs.keys()))))
+    query_terms = values_df(spark, qrows, ["query_id", "term"])
+    postings = decode_blocks(blocks.where(f"term IN ({sql_in(sorted(idfs))})"))
     scores = score_postings(postings, idfs, avgdl, query_terms)
     return group_scored(
         scores, attrs, group_col, {qid: k for qid, _, k in queries},
@@ -340,7 +347,7 @@ def facet_query_counts(
     base = match
     if all_terms:
         postings = decode_blocks(
-            blocks.filter(F.col("term").isin(all_terms))
+            blocks.where(f"term IN ({sql_in(all_terms)})")
         ).select("doc_id", "term")
         present = (
             postings.join(match.select("doc_id").distinct(), "doc_id", "semi")

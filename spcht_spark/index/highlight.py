@@ -50,21 +50,19 @@ def highlight(
     # compute after the filter). Post-join it touches k·|queries| rows.
     # All snippet math is single expr strings (a Column op costs ~2.5 ms
     # of driver time in classic mode; the per-Column build dominated).
-    docs = doc_store.select(
-        F.col(id_col).alias("doc_id"), F.col(content_col).alias("_content")
+    docs = doc_store.selectExpr(
+        f"`{id_col}` AS doc_id", f"`{content_col}` AS _content"
     )
     j = (
         F.broadcast(hits)
         .join(docs, "doc_id")
-        .withColumn("_toks", F.split(F.col("_content"), " "))
+        .selectExpr("*", "split(_content, ' ') AS _toks")
         # 1-based position of the first query-term occurrence
         # (array_min skips the NULLs left by non-matching positions)
-        .withColumn(
-            "_pos",
-            F.expr(
-                f"array_min(transform(_toks, (t, i) -> "
-                f"CASE WHEN array_contains({qt}, t) THEN i + 1 END))"
-            ),
+        .selectExpr(
+            "*",
+            f"array_min(transform(_toks, (t, i) -> "
+            f"CASE WHEN array_contains({qt}, t) THEN i + 1 END)) AS _pos",
         )
     )
     from spcht_spark.index.query import sql_str
@@ -78,7 +76,9 @@ def highlight(
         f"THEN concat({sql_str(tag_pre)}, t, {sql_str(tag_post)}) ELSE t END"
         f"), ' ') END"
     )
-    return j.withColumn("snippet", F.expr(snippet)).drop("_content", "_toks", "_pos")
+    return j.selectExpr("*", f"{snippet} AS snippet").drop(
+        "_content", "_toks", "_pos"
+    )
 
 
 def _terms_map_sql(queries: list[tuple[str, list[str]]]) -> str:
@@ -124,13 +124,13 @@ def highlight_fragments(
     qt = _terms_map_sql(queries) + "[query_id]"
     # split after the join — page rows only, never the streamed corpus;
     # fragment math as one expr string (see highlight)
-    docs = doc_store.select(
-        F.col(id_col).alias("doc_id"), F.col(content_col).alias("_content")
+    docs = doc_store.selectExpr(
+        f"`{id_col}` AS doc_id", f"`{content_col}` AS _content"
     )
     j = (
         F.broadcast(hits)
         .join(docs, "doc_id")
-        .withColumn("_toks", F.split(F.col("_content"), " "))
+        .selectExpr("*", "split(_content, ' ') AS _toks")
     )
     # first occurrence of each query term (0 = absent), ordered by
     # position, capped at max_snippets anchors
@@ -145,4 +145,4 @@ def highlight_fragments(
         f"THEN concat({sql_str(tag_pre)}, t, {sql_str(tag_post)}) ELSE t END"
         f"), ' '))"
     )
-    return j.withColumn("snippets", F.expr(frags)).drop("_content", "_toks")
+    return j.selectExpr("*", f"{frags} AS snippets").drop("_content", "_toks")

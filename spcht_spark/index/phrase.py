@@ -50,7 +50,13 @@ from spcht_spark.index.compress import (
     varbyte_decode,
     varbyte_encode_blocks,
 )
-from spcht_spark.index.query import TOPK_SCHEMA, stats_and_idfs, topk
+from spcht_spark.index.query import (
+    TOPK_SCHEMA,
+    sql_in,
+    stats_and_idfs,
+    topk,
+    values_df,
+)
 from spcht_spark.index.tokenize import tokens_positional
 from spcht_spark.oracle import B, K1
 
@@ -364,8 +370,8 @@ def phrase_topk(
     phrases = {qid: ts for qid, ts, _ in queries}
 
     qrows = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts))]
-    query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
-    hit = blocks.filter(F.col("term").isin(list(idfs.keys()))).join(
+    query_terms = values_df(spark, qrows, ["query_id", "term"])
+    hit = blocks.where(f"term IN ({sql_in(sorted(idfs))})").join(
         F.broadcast(query_terms), "term"
     )
 

@@ -76,6 +76,78 @@ def values_df(spark: SparkSession, rows: list[tuple], cols: list[str]) -> DataFr
     return spark.sql(f"SELECT * FROM VALUES {body} AS t({', '.join(cols)})")
 
 
+def _decode_batches(batches):
+    """The decode function behind :func:`decode_blocks` — module-level
+    and closure-free so its pandas UDF can be built (pickled +
+    registered over py4j) ONCE per session instead of per call."""
+    from spcht_spark.index.compress import varbyte_decode
+
+    for pdf in batches:
+        outs = []
+        for term, dbin, tbin, lbin in zip(
+            pdf["term"], pdf["docs_bin"], pdf["tfs_bin"], pdf["dls_bin"]
+        ):
+            docs, tfs = decode_postings_block(dbin, tbin)
+            dls = varbyte_decode(lbin).astype("int64")
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "term": term,
+                        "doc_id": docs.astype("int64"),
+                        "tf": tfs.astype("int64"),
+                        "dl": dls,
+                    }
+                )
+            )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+
+# app_id → the one registered decode UDF (see decode_blocks)
+_DECODE_UDF_MEMO: dict[str, object] = {}
+
+# (app_id, name) → registered grouped-map UDF (see apply_grouped_cached)
+_GROUPED_UDF_MEMO: dict[tuple[str, str], object] = {}
+
+
+def apply_grouped_cached(
+    df: DataFrame, group_cols: list[str], func, schema, name: str
+) -> DataFrame:
+    """``df.groupBy(*group_cols).applyInPandas(func, schema)`` with the
+    pandas UDF built once per (session, name) instead of per call.
+
+    ``GroupedData.applyInPandas`` re-pickles ``func`` and re-registers
+    a fresh UDF on every invocation (~65 py4j round-trips per call,
+    measured). ``func`` MUST be module-level and closure-free — any
+    per-call parameters have to ride the data as columns, because the
+    function bytes are serialized exactly once per session. The JVM
+    entry point (``flatMapGroupsInPandas``) and eval type are the same
+    ones the mixin uses — identical plan."""
+    spark = df.sparkSession
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: no sparkContext — mixin path
+        return df.groupBy(*group_cols).applyInPandas(func, schema)
+    memo_key = (app_id, name)
+    udf = _GROUPED_UDF_MEMO.get(memo_key)
+    if udf is None:
+        from pyspark.sql.pandas.functions import pandas_udf
+        from pyspark.util import PythonEvalType
+
+        udf = pandas_udf(
+            func,
+            returnType=schema,
+            functionType=PythonEvalType.SQL_GROUPED_MAP_PANDAS_UDF,
+        )
+        for k in [k for k in _GROUPED_UDF_MEMO if k[0] != app_id]:
+            del _GROUPED_UDF_MEMO[k]  # dead sessions' judf refs
+        _GROUPED_UDF_MEMO[memo_key] = udf
+    gd = df.groupBy(*group_cols)
+    udf_column = udf(*[df[c] for c in df.columns])
+    jdf = gd._jgd.flatMapGroupsInPandas(udf_column._jc)
+    return df.__class__(jdf, spark)
+
+
 def decode_blocks(blocks: DataFrame) -> DataFrame:
     """blocks → flat (term, doc_id, tf, dl) via Arrow-batched numpy decode.
 
@@ -83,33 +155,38 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
     build computes dl map-side) is decoded alongside docs/tfs, so every
     consumer scores WITHOUT a postings⋈doclens equi-join — at 10^12 docs
     that join was an Exchange of the full decoded posting stream
-    (round-3 VERDICT "What's wrong" #3)."""
-    from spcht_spark.index.compress import varbyte_decode
+    (round-3 VERDICT "What's wrong" #3).
 
-    def dec(batches):
-        for pdf in batches:
-            outs = []
-            for term, dbin, tbin, lbin in zip(
-                pdf["term"], pdf["docs_bin"], pdf["tfs_bin"], pdf["dls_bin"]
-            ):
-                docs, tfs = decode_postings_block(dbin, tbin)
-                dls = varbyte_decode(lbin).astype("int64")
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term": term,
-                            "doc_id": docs.astype("int64"),
-                            "tf": tfs.astype("int64"),
-                            "dl": dls,
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+    ``DataFrame.mapInPandas`` builds a fresh pandas UDF per call —
+    ~55 py4j round-trips plus a re-pickle of the function (~40 ms of
+    driver wall at this host's round-trip latency) on EVERY query.
+    The decode function is static, so the UDF object (whose ``_judf``
+    caches the JVM registration) is memoized per session and applied
+    through the same ``mapInPandas`` JVM entry point the mixin uses —
+    identical plan, one-time setup."""
+    df = blocks.selectExpr("term", "docs_bin", "tfs_bin", "dls_bin")
+    spark = df.sparkSession
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: no sparkContext — use the mixin path
+        return df.mapInPandas(_decode_batches, schema=POSTINGS_SCHEMA)
+    udf = _DECODE_UDF_MEMO.get(app_id)
+    if udf is None:
+        from pyspark.sql.pandas.functions import pandas_udf
+        from pyspark.util import PythonEvalType
 
-    return blocks.select("term", "docs_bin", "tfs_bin", "dls_bin").mapInPandas(
-        dec, schema=POSTINGS_SCHEMA
+        udf = pandas_udf(
+            _decode_batches,
+            returnType=POSTINGS_SCHEMA,
+            functionType=PythonEvalType.SQL_MAP_PANDAS_ITER_UDF,
+        )
+        _DECODE_UDF_MEMO.clear()  # a dead session's judf is useless
+        _DECODE_UDF_MEMO[app_id] = udf
+    udf_column = udf(*[df[c] for c in df.columns])
+    jdf = df._jdf.mapInPandas(
+        udf_column._jc, False, df._build_java_profile(None)
     )
+    return df.__class__(jdf, spark)
 
 
 def query_idfs(
@@ -120,8 +197,10 @@ def query_idfs(
     n_docs = int(stats_row["n_docs"])
     dfs = {
         r["term"]: int(r["df"])
-        for r in dictionary.filter(F.col("term").isin(terms)).select("term", "df").collect()
-    }
+        for r in dictionary.where(f"term IN ({sql_in(terms)})")
+        .select("term", "df")
+        .collect()
+    } if terms else {}
     return {t: idf_py(n_docs, dfs[t]) for t in terms if t in dfs}
 
 
@@ -138,21 +217,27 @@ def stats_and_idfs(
     ``stats.collect()[0]`` + :func:`query_idfs` (exact ints in, same
     math.log); the returned stats row is a plain dict supporting the
     same ``row["n_docs"]`` subscripting."""
-    d = dictionary.filter(F.col("term").isin(terms)).select(
-        "term",
-        F.col("df").cast("long").alias("df"),
-        F.lit(None).cast("long").alias("n_docs"),
-        F.lit(None).cast("double").alias("avgdl"),
+    # where/selectExpr SQL strings, not per-Column ops: the Column build
+    # of this same plan was ~280 py4j round-trips per batch (isin alone
+    # pays one trip per literal; measured via a send_command counter),
+    # ~0.2 s of driver wall at this host's ~0.75 ms per round-trip.
+    s = stats.selectExpr(
+        "CAST(NULL AS STRING) AS term",
+        "CAST(NULL AS BIGINT) AS df",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(avgdl AS DOUBLE) AS avgdl",
     )
-    s = stats.select(
-        F.lit(None).cast("string").alias("term"),
-        F.lit(None).cast("long").alias("df"),
-        F.col("n_docs").cast("long").alias("n_docs"),
-        F.col("avgdl").cast("double").alias("avgdl"),
-    )
+    if terms:
+        d = dictionary.where(f"term IN ({sql_in(terms)})").selectExpr(
+            "term",
+            "CAST(df AS BIGINT) AS df",
+            "CAST(NULL AS BIGINT) AS n_docs",
+            "CAST(NULL AS DOUBLE) AS avgdl",
+        )
+        s = s.unionByName(d)
     stats_row: dict = {}
     dfs: dict[str, int] = {}
-    for r in s.unionByName(d).collect():
+    for r in s.collect():
         if r["term"] is None:
             stats_row = {"n_docs": int(r["n_docs"]), "avgdl": float(r["avgdl"])}
         else:
@@ -164,6 +249,15 @@ def stats_and_idfs(
 def sql_str(s: str) -> str:
     """SQL string literal (single-quote escaped)."""
     return "'" + str(s).replace("'", "''") + "'"
+
+
+def sql_in(values) -> str:
+    """Comma-joined string literals for a ``term IN (...)`` predicate.
+
+    ``F.col(c).isin(lst)`` costs one py4j round-trip PER LITERAL (each
+    element becomes a java object via _to_seq); a rendered IN-list is
+    part of one ``where`` string — same Catalyst predicate, one trip."""
+    return ", ".join(sql_str(v) for v in values)
 
 
 def sql_double(v: float) -> str:
@@ -204,15 +298,15 @@ def score_postings(
         f"(tf + {sql_double(K1)} * ({sql_double(1.0 - B)} + "
         f"{sql_double(B)} * (dl / {sql_double(avgdl)}))))"
     )
-    contrib = postings.join(query_terms, "term").withColumn(
-        "contrib", F.expr(contrib_expr)
+    contrib = postings.join(query_terms, "term").selectExpr(
+        "*", f"{contrib_expr} AS contrib"
     )
     return contrib.groupBy("query_id", "doc_id").agg(
         F.expr(
             "aggregate(array_sort(collect_list(struct(term, contrib))), "
             "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)"
         ).alias("score"),
-        F.count(F.lit(1)).alias("n_matched"),
+        F.expr("count(1)").alias("n_matched"),
     )
 
 
@@ -246,26 +340,23 @@ def topk(
     pre = scores
     if n_docs is None or n_docs >= SALT_MIN_DOCS:
         pre = (
-            scores.withColumn(
-                "r1",
-                F.expr(
-                    "row_number() OVER (PARTITION BY query_id, "
-                    "pmod(xxhash64(doc_id), 64) ORDER BY score DESC, doc_id ASC)"
-                ),
+            pre.selectExpr(
+                "*",
+                "row_number() OVER (PARTITION BY query_id, "
+                "pmod(xxhash64(doc_id), 64) ORDER BY score DESC, doc_id ASC)"
+                " AS r1",
             )
-            .filter(F.expr(f"r1 <= {k_map}[query_id]"))
+            .where(f"r1 <= {k_map}[query_id]")
             .drop("r1")
         )
     return (
-        pre.withColumn(
-            "rank",
-            F.expr(
-                "row_number() OVER (PARTITION BY query_id "
-                "ORDER BY score DESC, doc_id ASC)"
-            ),
+        pre.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY score DESC, doc_id ASC) AS rank",
         )
-        .filter(F.expr(f"rank <= {k_map}[query_id]"))
-        .select("query_id", "rank", "doc_id", "score")
+        .where(f"rank <= {k_map}[query_id]")
+        .selectExpr("query_id", "rank", "doc_id", "score")
     )
 
 
@@ -323,27 +414,23 @@ def exact_topk(
     qrows = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts)) if t in idfs]
     query_terms = values_df(spark, qrows, ["query_id", "term"])
 
-    hit_blocks = blocks.filter(F.col("term").isin(list(idfs.keys())))
+    hit_blocks = blocks.where(f"term IN ({sql_in(sorted(idfs))})")
     postings = decode_blocks(hit_blocks)
     scores = score_postings(postings, idfs, avgdl, query_terms)
     if doc_filter is not None:
         scores = scores.join(doc_filter.select("doc_id"), "doc_id", "semi")
     if mode == "and":
         n_terms = {qid: len(set(ts)) for qid, ts, _ in queries}
-        nt_map = F.create_map(
-            *[x for qid, n in sorted(n_terms.items()) for x in (F.lit(qid), F.lit(n))]
-        )
-        scores = scores.filter(F.col("n_matched") == nt_map[F.col("query_id")])
+        nt_map = sql_map(sorted(n_terms.items()), lambda n: str(int(n)))
+        scores = scores.where(f"n_matched = {nt_map}[query_id]")
     elif min_match is not None:
         mm = (
             {qid: int(min_match) for qid, _, _ in queries}
             if isinstance(min_match, int)
             else {qid: int(min_match.get(qid, 1)) for qid, _, _ in queries}
         )
-        mm_map = F.create_map(
-            *[x for qid, n in sorted(mm.items()) for x in (F.lit(qid), F.lit(n))]
-        )
-        scores = scores.filter(F.col("n_matched") >= mm_map[F.col("query_id")])
+        mm_map = sql_map(sorted(mm.items()), lambda n: str(int(n)))
+        scores = scores.where(f"n_matched >= {mm_map}[query_id]")
     return topk(scores, {qid: k for qid, _, k in queries}, n_docs=int(stats_row["n_docs"]))
 
 
@@ -381,7 +468,7 @@ def boosted_topk(
         return spark.createDataFrame([], schema=TOPK_SCHEMA)
     qrows = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts)) if t in idfs]
     query_terms = values_df(spark, qrows, ["query_id", "term"])
-    postings = decode_blocks(blocks.filter(F.col("term").isin(list(idfs.keys()))))
+    postings = decode_blocks(blocks.where(f"term IN ({sql_in(sorted(idfs))})"))
     scores = score_postings(postings, idfs, avgdl, query_terms)
     need = sorted(
         {c for spec in (bf, boost) if spec is not None for c in spec[1]}

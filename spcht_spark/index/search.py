@@ -223,7 +223,7 @@ def search(
         # Score the rerank query ONLY over the re-rank window's docs —
         # the doc_filter keeps the rq pass candidate-bounded (Solr
         # reranks a collected window, it never re-runs a full search).
-        window_ids = hits.filter(F.col("rank") <= rerank_docs).select("doc_id")
+        window_ids = hits.where(f"rank <= {int(rerank_docs)}").select("doc_id")
         rr = boolean_matches(
             spark, index.blocks, index.doclens, index.dictionary, index.stats,
             [(query_id, rq_str, 1)],
@@ -239,12 +239,12 @@ def search(
             {query_id: request.elevate_ids or []},
             {query_id: request.exclude_ids or []} if request.exclude_ids else None,
         )
-    hits = hits.filter(F.col("rank") <= request.start + request.k)
+    hits = hits.where(f"rank <= {int(request.start + request.k)}")
     if request.start:
         # Solr start=N: keep absolute ranks, drop the first N rows
-        hits = hits.filter(F.col("rank") > request.start)
+        hits = hits.where(f"rank > {int(request.start)}")
     if request.fl:
-        stored = attrs.select("doc_id", *[F.col(c) for c in request.fl])
+        stored = attrs.select("doc_id", *request.fl)
         hits = F.broadcast(hits).join(stored, "doc_id").select(
             "query_id", "rank", "doc_id", "score", *request.fl
         )

@@ -37,7 +37,9 @@ from spcht_spark.index.compress import BLOCK_SIZE as _BLOCK_SIZE
 from spcht_spark.index.compress import varbyte_decode
 from spcht_spark.index.query import (
     TOPK_SCHEMA,
+    apply_grouped_cached,
     query_idfs,
+    sql_in,
     stats_and_idfs,
     topk,
     values_df,
@@ -290,6 +292,36 @@ def _and_one_group(
     return list(zip(cand.tolist(), total.tolist()))
 
 
+def _wand_run_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Single-phase WAND group runner — module-level and closure-free
+    (per-query k / per-term idf / avgdl ride the joined query_terms
+    columns) so apply_grouped_cached can register its UDF once per
+    session. θ0 is -inf by construction: the cascade path, which needs
+    per-query floors, keeps the closure-based runner."""
+    query_id = key[0]
+    k = int(pdf["k"].iloc[0])
+    avgdl = float(pdf["avgdl"].iloc[0])
+    idfs = dict(zip(pdf["term"], (float(x) for x in pdf["idf"])))
+    res = _wand_one_group(pdf, k, idfs, avgdl)
+    return pd.DataFrame(
+        {"query_id": query_id, "doc_id": [d for d, _ in res],
+         "score": [s for _, s in res]}
+    )
+
+
+def _and_run_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Conjunctive group runner, closure-free (see _wand_run_group)."""
+    query_id = key[0]
+    n_terms = int(pdf["n_terms"].iloc[0])
+    avgdl = float(pdf["avgdl"].iloc[0])
+    idfs = dict(zip(pdf["term"], (float(x) for x in pdf["idf"])))
+    res = _and_one_group(pdf, idfs, avgdl, n_terms)
+    return pd.DataFrame(
+        {"query_id": query_id, "doc_id": [d for d, _ in res],
+         "score": [s for _, s in res]}
+    )
+
+
 def and_topk(
     spark: SparkSession,
     blocks: DataFrame,
@@ -324,27 +356,34 @@ def and_topk(
         idfs = {t: idfs[t] for t in all_terms if t in idfs}
     avgdl = float(stats_row["avgdl"])
     queries = [q for q in queries if all(t in idfs for t in q[1])]
-    if not queries:
+    if not queries or not idfs:
+        # not idfs: only zero-term queries survive the filter above, and
+        # those matched nothing on the old empty-isin path either
         return spark.createDataFrame([], schema=TOPK_SCHEMA)
     ks = {qid: k for qid, _, k in queries}
     n_terms = {qid: len(set(ts)) for qid, ts, _ in queries}
 
-    qrows = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts))]
-    query_terms = values_df(spark, qrows, ["query_id", "term"])
-    hit = blocks.filter(F.col("term").isin(list(idfs.keys()))).join(
+    # per-query/term parameters ride the tiny VALUES table (so the
+    # group runner stays closure-free — see _and_run_group); float
+    # literals render via repr()+CAST, bit-exact
+    qrows = [
+        (qid, t, idfs[t], n_terms[qid], avgdl)
+        for qid, ts, _ in queries
+        for t in sorted(set(ts))
+    ]
+    query_terms = values_df(
+        spark, qrows, ["query_id", "term", "idf", "n_terms", "avgdl"]
+    )
+    hit = blocks.where(f"term IN ({sql_in(sorted(idfs))})").join(
         F.broadcast(query_terms), "term"
     )
 
-    def run(key: tuple[str, int], pdf: pd.DataFrame) -> pd.DataFrame:
-        query_id = key[0]
-        res = _and_one_group(pdf, idfs, avgdl, n_terms[query_id])
-        return pd.DataFrame(
-            {"query_id": query_id, "doc_id": [d for d, _ in res],
-             "score": [s for _, s in res]}
-        )
-
-    cand = _pin_groups(hit).groupBy("query_id", "shard").applyInPandas(
-        run, schema=_CAND_SCHEMA
+    # prune columns the group runner never reads (term_hash, n_docs,
+    # cf) BEFORE the grouping shuffle — fewer shuffled bytes and fewer
+    # py4j column args per call
+    cand = apply_grouped_cached(
+        _pin_groups(hit.drop("term_hash", "n_docs", "cf")),
+        ["query_id", "shard"], _and_run_group, _CAND_SCHEMA, "and_run",
     )
     if doc_filter is not None:
         cand = cand.join(doc_filter.select("doc_id"), "doc_id", "semi")
@@ -405,10 +444,20 @@ def wand_topk(
         return spark.createDataFrame([], schema=TOPK_SCHEMA)
     ks = {qid: k for qid, _, k in queries}
 
-    qrows = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts)) if t in idfs]
-    query_terms = values_df(spark, qrows, ["query_id", "term"])
+    # per-query k / per-term idf / avgdl ride the VALUES table so the
+    # single-phase group runner can be closure-free (_wand_run_group);
+    # the cascade/filtered runners below ignore the extra columns
+    qrows = [
+        (qid, t, idfs[t], ks[qid], avgdl)
+        for qid, ts, _ in queries
+        for t in sorted(set(ts))
+        if t in idfs
+    ]
+    query_terms = values_df(
+        spark, qrows, ["query_id", "term", "idf", "k", "avgdl"]
+    )
 
-    hit = blocks.filter(F.col("term").isin(list(idfs.keys()))).join(
+    hit = blocks.where(f"term IN ({sql_in(sorted(idfs))})").join(
         F.broadcast(query_terms), "term"
     )
 
@@ -503,8 +552,9 @@ def wand_topk(
                 and int(probe["n_blocks"]) >= _CASCADE_MIN_BLOCKS
             )
     if not theta_cascade:
-        cand = _pin_groups(hit).groupBy("query_id", "shard").applyInPandas(
-            runner({}), schema=_CAND_SCHEMA
+        cand = apply_grouped_cached(
+            _pin_groups(hit.drop("term_hash", "n_docs", "cf")),
+            ["query_id", "shard"], _wand_run_group, _CAND_SCHEMA, "wand_run",
         )
         return topk(cand, ks, n_docs=int(stats_row["n_docs"]))
 
@@ -526,12 +576,13 @@ def wand_topk(
         .filter(F.col("rn") == 1)
         .select("query_id", "shard")
     )
-    seed_cand = (
-        _pin_groups(hit.join(F.broadcast(seeds), ["query_id", "shard"]))
-        .groupBy("query_id", "shard")
-        .applyInPandas(runner({}), schema=_CAND_SCHEMA)
-        .localCheckpoint()  # collected once for θ, reused in the union
-    )
+    seed_cand = apply_grouped_cached(
+        _pin_groups(
+            hit.join(F.broadcast(seeds), ["query_id", "shard"])
+            .drop("term_hash", "n_docs", "cf")
+        ),
+        ["query_id", "shard"], _wand_run_group, _CAND_SCHEMA, "wand_run",
+    ).localCheckpoint()  # collected once for θ, reused in the union
     theta0s: dict[str, float] = {}
     for r in seed_cand.groupBy("query_id").agg(
         F.min("score").alias("kth"), F.count(F.lit(1)).alias("n")
