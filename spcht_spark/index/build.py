@@ -327,13 +327,24 @@ def build_index(
 
     Tokens are materialized once (localCheckpoint): doclens, dictionary
     and blocks all branch from them, and without materialization each
-    branch would re-run the tokenizer over the full corpus."""
-    tokens = build_tokens(corpus, tokenizer, analyzer=analyzer).localCheckpoint()
+    branch would re-run the tokenizer over the full corpus.
+
+    All three checkpoints are LAZY (``eager=False``): an eager
+    localCheckpoint is its own driver barrier (a job + scheduling gap,
+    ~0.1-0.2 s each at bench scale), while a lazy one materializes as
+    part of the FIRST action that needs it — the ``stats.collect()``
+    below runs tokenize + doclens + checkpoint-store + the stats agg as
+    one job chain, and the blocks checkpoint rides the caller's first
+    blocks action. Same passes, same materialized tables, three fewer
+    serial barriers per build (event-log audit, OPTIMIZATION_r06.md)."""
+    tokens = build_tokens(corpus, tokenizer, analyzer=analyzer).localCheckpoint(
+        eager=False
+    )
     # doclens is read twice on every build (stats here, and the caller
     # materializes/queries it) — each read otherwise re-aggregates the
     # full token table (a corpus-wide pass, measured ~0.6 s at bench
     # scale). Materialize the narrow (doc_id, dl) table once.
-    doclens = build_doclens(tokens).localCheckpoint()
+    doclens = build_doclens(tokens).localCheckpoint(eager=False)
     # stats stays a lazy agg over the CHECKPOINTED doclens: every later
     # stats.collect()/count() (each query path does one) is then a tiny
     # agg over the materialized (doc_id, dl) table, not a corpus-wide
@@ -351,7 +362,7 @@ def build_index(
     # time — one full token pass per build, SPIMI-style.
     blocks = build_blocks(
         tokens, float(srow["avgdl"]), shard_span=shard_span
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     dictionary = dictionary_from_blocks(blocks)
     return IndexTables(
         tokens, doclens, dictionary, stats, blocks,
