@@ -943,7 +943,14 @@ def boolean_topk(
     if sum(1 for route in (ors, ands, full) if route) > 1:
         # one pruned scan, shared by every sub-engine (their own
         # term-IN filters become in-memory subsetting of this frame)
-        blocks = blocks.where(f"term IN ({sql_in(terms)})").localCheckpoint()
+        # lazy: the eager variant is its own driver barrier; the first
+        # sub-engine stage that reads the scan materializes it and the
+        # others read the persisted blocks (BlockManager locks per
+        # block, so concurrent AQE stages of the one final action never
+        # compute a partition twice)
+        blocks = blocks.where(f"term IN ({sql_in(terms)})").localCheckpoint(
+            eager=False
+        )
 
     # ONE driver job for stats + dictionary idfs for the whole batch;
     # the sub-engines subset the map instead of re-collecting (round-4
