@@ -134,7 +134,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch (4 corpus scans — fatal at 100 TB, where the persisted-index
     build in spcht_spark.plans.indexer is the real answer). Here:
     localCheckpoint once, read four times."""
-    tf = _doc_tokens(spark, sf_dir).localCheckpoint()
+    # lazy: eager checkpointing is its own driver barrier; the first
+    # branch stage that reads tf materializes it and the other three
+    # read the persisted rows (same fold as the boolean router's scan)
+    tf = _doc_tokens(spark, sf_dir).localCheckpoint(eager=False)
     # dl rides every token row (computed in the tokenize batch), so the
     # former corpus-wide dl aggregation + equi-join on doc_id is gone;
     # stats dedup the carried dl to one row per doc (narrow agg).

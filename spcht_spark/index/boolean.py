@@ -801,6 +801,16 @@ def boolean_matches_ast(
         f"({sql_double(1.0 - B)} + {sql_double(B)} * (dl / {sql_double(avgdl)})))) "
         "ELSE CAST(0.0 AS DOUBLE) END AS contrib",
     )
+    from spcht_spark.index.query import SALT_MIN_DOCS
+
+    if int(stats_row["n_docs"]) < SALT_MIN_DOCS:
+        # proven-small corpus: partition by query_id alone so the
+        # (query_id, doc_id) agg, the predicate filter and the caller's
+        # top-k window share ONE exchange (see index.query.score_postings
+        # — the same SALT_MIN_DOCS gate; large corpora keep the salted
+        # two-exchange shape that prevents hot-query stragglers)
+        n = int(contrib.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        contrib = contrib.repartition(n, "query_id")
     g = contrib.groupBy("query_id", "doc_id").agg(
         F.expr(
             "aggregate(array_sort(collect_list(struct(term, contrib))), "

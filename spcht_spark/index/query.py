@@ -278,6 +278,7 @@ def score_postings(
     idfs: dict[str, float],
     avgdl: float,
     query_terms: DataFrame,
+    pre_partition: bool = False,
 ) -> DataFrame:
     """(query_id, doc_id, score): contribution expression mirrors
     spcht_spark.oracle.term_score verbatim; summation is term-ordered.
@@ -301,6 +302,19 @@ def score_postings(
     contrib = postings.join(query_terms, "term").selectExpr(
         "*", f"{contrib_expr} AS contrib"
     )
+    if pre_partition:
+        # One exchange instead of two for PROVEN-SMALL corpora (the
+        # caller gates on n_docs < SALT_MIN_DOCS, the same proof that
+        # skips the salt stage): hash-partitioning by query_id alone
+        # satisfies the (query_id, doc_id) aggregation's clustering AND
+        # the top-k window's, so agg + sort + window fuse into the one
+        # post-exchange stage (plan: 2 Exchange → 1; A/B min 1.13 →
+        # 0.91 s on the 25-query reference batch). At scale this shape
+        # would funnel a hot query's candidates through one partition —
+        # exactly the straggler the salted two-stage top-k exists to
+        # avoid — so large corpora keep the standard shape.
+        n = int(contrib.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        contrib = contrib.repartition(n, "query_id")
     return contrib.groupBy("query_id", "doc_id").agg(
         F.expr(
             "aggregate(array_sort(collect_list(struct(term, contrib))), "
@@ -416,7 +430,10 @@ def exact_topk(
 
     hit_blocks = blocks.where(f"term IN ({sql_in(sorted(idfs))})")
     postings = decode_blocks(hit_blocks)
-    scores = score_postings(postings, idfs, avgdl, query_terms)
+    scores = score_postings(
+        postings, idfs, avgdl, query_terms,
+        pre_partition=int(stats_row["n_docs"]) < SALT_MIN_DOCS,
+    )
     if doc_filter is not None:
         scores = scores.join(doc_filter.select("doc_id"), "doc_id", "semi")
     if mode == "and":
@@ -469,7 +486,10 @@ def boosted_topk(
     qrows = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts)) if t in idfs]
     query_terms = values_df(spark, qrows, ["query_id", "term"])
     postings = decode_blocks(blocks.where(f"term IN ({sql_in(sorted(idfs))})"))
-    scores = score_postings(postings, idfs, avgdl, query_terms)
+    scores = score_postings(
+        postings, idfs, avgdl, query_terms,
+        pre_partition=int(stats_row["n_docs"]) < SALT_MIN_DOCS,
+    )
     need = sorted(
         {c for spec in (bf, boost) if spec is not None for c in spec[1]}
     )
