@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from spcht_spark.index.compress import decode_postings_block
 from spcht_spark.oracle import B, K1, idf as idf_py
 
 POSTINGS_SCHEMA = T.StructType(
@@ -79,28 +78,47 @@ def values_df(spark: SparkSession, rows: list[tuple], cols: list[str]) -> DataFr
 def _decode_batches(batches):
     """The decode function behind :func:`decode_blocks` — module-level
     and closure-free so its pandas UDF can be built (pickled +
-    registered over py4j) ONCE per session instead of per call."""
-    from spcht_spark.index.compress import varbyte_decode
+    registered over py4j) ONCE per session instead of per call.
+
+    One numpy pass per Arrow batch instead of a Python loop per BLOCK
+    (the former shape paid 3 varbyte calls + a small DataFrame build
+    per block — ~1,600 Python-level calls per 528-block batch): the
+    per-block buffers are concatenated and decoded once per lane
+    (varbyte values are self-delimiting and every buffer ends on a
+    terminator byte, so the concatenated decode IS the concatenation
+    of the per-block decodes), per-block value counts are recovered
+    from the terminator positions, and the delta chains — which reset
+    at every block start — resolve through the codec's vectorized
+    segmented cumsum. Row-identical to the per-block decode."""
+    import numpy as np
+
+    from spcht_spark.index.compress import segmented_positions, varbyte_decode
 
     for pdf in batches:
-        outs = []
-        for term, dbin, tbin, lbin in zip(
-            pdf["term"], pdf["docs_bin"], pdf["tfs_bin"], pdf["dls_bin"]
-        ):
-            docs, tfs = decode_postings_block(dbin, tbin)
-            dls = varbyte_decode(lbin).astype("int64")
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "term": term,
-                        "doc_id": docs.astype("int64"),
-                        "tf": tfs.astype("int64"),
-                        "dl": dls,
-                    }
-                )
-            )
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
+        if len(pdf) == 0:
+            continue
+        dbins = pdf["docs_bin"].tolist()
+        dbuf = np.frombuffer(b"".join(dbins), dtype=np.uint8)
+        if len(dbuf) == 0:
+            continue
+        # value count per block = terminator bytes (<0x80) per buffer
+        ends = np.nonzero(dbuf < 0x80)[0]
+        byte_starts = np.cumsum([0] + [len(b) for b in dbins[:-1]])
+        counts = np.diff(
+            np.concatenate((np.searchsorted(ends, byte_starts), [len(ends)]))
+        )
+        gaps = varbyte_decode(dbuf.tobytes())
+        docs = segmented_positions(gaps, counts)
+        tfs = varbyte_decode(b"".join(pdf["tfs_bin"])).astype("int64")
+        dls = varbyte_decode(b"".join(pdf["dls_bin"])).astype("int64")
+        yield pd.DataFrame(
+            {
+                "term": np.repeat(pdf["term"].to_numpy(), counts),
+                "doc_id": docs,
+                "tf": tfs,
+                "dl": dls,
+            }
+        )
 
 
 # app_id → the one registered decode UDF (see decode_blocks)
