@@ -141,10 +141,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dl rides every token row (computed in the tokenize batch), so the
     # former corpus-wide dl aggregation + equi-join on doc_id is gone;
     # stats dedup the carried dl to one row per doc (narrow agg).
-    dl_docs = tf.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    dl_docs = tf.groupBy("doc_id").agg(F.expr("max(dl)").alias("dl"))
     stats = dl_docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.expr("count(1)").alias("n_docs"),
+        F.expr("CAST(sum(dl) AS DOUBLE) / count(1)").alias("avgdl"),
     )
     # Only the query terms' df values are ever consumed (the join with
     # q below), but Catalyst cannot push the join's term set into the
@@ -152,10 +152,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # postings join input) from |all (doc, term) pairs| to the query
     # terms' rows (guide §2.3 "aggregate before you shuffle" / project
     # early). dl/stats stay corpus-wide — BM25 semantics.
+    from spcht_spark.index.query import sql_double, sql_in, values_df
+
     qterms = sorted({t for _, ts in DOC_QUERIES for t in ts})
-    tfq = tf.filter(F.col("term").isin(qterms))
-    dft = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    from spcht_spark.index.query import sql_double, values_df
+    tfq = tf.where(f"term IN ({sql_in(qterms)})")
+    dft = tfq.groupBy("term").agg(F.expr("count(1)").alias("df"))
 
     # inline VALUES (pure-JVM LocalRelation) instead of a parallelize-
     # backed createDataFrame: the latter adds a python-task stage to
@@ -179,9 +180,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.join(dft, "term")
         .join(tfq, "term")
         .crossJoin(F.broadcast(stats))
-        .withColumn("contrib", F.expr(contrib))
+        .selectExpr("*", f"{contrib} AS contrib")
         .groupBy("query_id", "doc_id")
-        .agg(F.sum("contrib").alias("raw"))
+        .agg(F.expr("sum(contrib)").alias("raw"))
     )
     # Two-stage top-k: per-(query, doc-hash-salt) partial top-k first, so
     # no single reducer ever receives every candidate doc of a query (the
@@ -189,27 +190,23 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at 100× corpus). Union of per-salt top-k ⊇ global top-k, so the
     # final narrow window over ≤ 64·k rows/query is exact.
     pre = (
-        scored.withColumn(
-            "r1",
-            F.expr(
-                "row_number() OVER (PARTITION BY query_id, "
-                "pmod(xxhash64(doc_id), 64) "
-                "ORDER BY round(raw, 6) DESC, doc_id ASC)"
-            ),
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id, "
+            "pmod(xxhash64(doc_id), 64) "
+            "ORDER BY round(raw, 6) DESC, doc_id ASC) AS r1",
         )
-        .filter(F.col("r1") <= DOC_K)
+        .where(f"r1 <= {DOC_K}")
         .drop("r1")
     )
     return (
-        pre.withColumn(
-            "rank",
-            F.expr(
-                "row_number() OVER (PARTITION BY query_id "
-                "ORDER BY round(raw, 6) DESC, doc_id ASC)"
-            ),
+        pre.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY round(raw, 6) DESC, doc_id ASC) AS rank",
         )
-        .filter(F.col("rank") <= DOC_K)
-        .select("query_id", "rank", "doc_id", F.round("raw", 4).alias("score"))
+        .where(f"rank <= {DOC_K}")
+        .selectExpr("query_id", "rank", "doc_id", "round(raw, 4) AS score")
     )
 
 
@@ -2807,7 +2804,7 @@ def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary aggregates (SURVEY §2.4): df + cf per term."""
     tf = _doc_tokens(spark, sf_dir)
     return tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+        F.expr("count(1)").alias("df"), F.expr("sum(tf)").alias("cf")
     )
 
 
@@ -2820,8 +2817,8 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
 def q_doclen_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-length distribution (avgdl inputs): corpus-stat aggregation."""
     tf = _doc_tokens(spark, sf_dir)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    return dl.groupBy("dl").agg(F.count(F.lit(1)).alias("n_docs"))
+    dl = tf.groupBy("doc_id").agg(F.expr("sum(tf)").alias("dl"))
+    return dl.groupBy("dl").agg(F.expr("count(1)").alias("n_docs"))
 
 
 Q_DOCLEN_HIST_SQL = f"""
@@ -2969,17 +2966,20 @@ FROM (
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style rollup (work-order metric rollup parity, A1)."""
     li = _t(spark, sf_dir, "lineitem")
+    # expr strings: a Column op costs ~1-2 py4j round-trips of driver
+    # wall; for the small bench queries plan construction was a third
+    # of the measured time (see OPTIMIZATION_r06.md lever 11)
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        li.where("l_shipdate <= '1998-09-02'")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.expr("round(sum(l_quantity), 2)").alias("sum_qty"),
+            F.expr("round(sum(l_extendedprice), 2)").alias("sum_base_price"),
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2)"
+            ).alias("sum_disc_price"),
+            F.expr("round(avg(l_discount), 4)").alias("avg_disc"),
+            F.expr("count(1)").alias("count_order"),
         )
     )
 
@@ -2999,14 +2999,13 @@ GROUP BY l_returnflag, l_linestatus
 def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k (SURVEY §2.5): top-3 orders per customer."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc(F.round("o_totalprice", 6)), F.asc("o_orderkey")
-    )
-    return (
-        o.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("o_custkey", "o_orderkey", "rnk", F.round("o_totalprice", 2).alias("price"))
-    )
+    return o.selectExpr(
+        "o_custkey",
+        "o_orderkey",
+        "row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY round(o_totalprice, 6) DESC, o_orderkey ASC) AS rnk",
+        "round(o_totalprice, 2) AS price",
+    ).where("rnk <= 3")
 
 
 Q_TOPK_ORDERS_SQL = """
@@ -3026,12 +3025,12 @@ def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        c.join(F.broadcast(n), F.expr("c_nationkey = n_nationkey"))
+        .join(F.broadcast(r), F.expr("n_regionkey = r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            F.expr("count(1)").alias("n_customers"),
+            F.expr("round(sum(c_acctbal), 2)").alias("sum_acctbal"),
         )
     )
 
@@ -3049,8 +3048,11 @@ GROUP BY r_name, n_name
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash (training-data op): keep min doc_id."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy(F.md5("text").alias("text_md5")).agg(
-        F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_dups")
+    return docs.selectExpr("md5(text) AS text_md5", "doc_id").groupBy(
+        "text_md5"
+    ).agg(
+        F.expr("min(doc_id)").alias("keep_doc"),
+        F.expr("count(1)").alias("n_dups"),
     )
 
 
@@ -3080,16 +3082,14 @@ FROM documents
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio + mean token length."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    stop = F.filter(toks, lambda x: x.isin("the", "a"))
-    return docs.select(
+    return docs.selectExpr(
+        "doc_id", "filter(split(text, ' '), x -> x != '') AS toks"
+    ).selectExpr(
         "doc_id",
-        F.round(F.size(stop) / F.size(toks), 4).alias("stopword_ratio"),
-        F.round(
-            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-            / F.size(toks),
-            4,
-        ).alias("avg_token_len"),
+        "round(size(filter(toks, x -> x IN ('the', 'a'))) / size(toks), 4)"
+        " AS stopword_ratio",
+        "round(aggregate(toks, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+        " / size(toks), 4) AS avg_token_len",
     )
 
 
@@ -3109,28 +3109,30 @@ FROM t
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over embeddings (similarity-search op)."""
     emb = _t(spark, sf_dir, "embeddings")
-    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
-    qv = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("q_id"), to_d("embedding").alias("qe")
-    )
-    cand = emb.select("vec_id", to_d("embedding").alias("ce"))
-    dot = F.aggregate(
-        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    nrm = lambda c: F.sqrt(
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    to_d = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    qv = emb.where("vec_id < 3").selectExpr("vec_id AS q_id", f"{to_d} AS qe")
+    cand = emb.selectExpr("vec_id", f"{to_d} AS ce")
+    nrm = (
+        lambda c: f"sqrt(aggregate(transform({c}, x -> x * x), "
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
     )
     scored = (
         qv.crossJoin(cand)
-        .filter(F.col("q_id") != F.col("vec_id"))
-        .withColumn("cos", dot / (nrm("qe") * nrm("ce")))
+        .where("q_id != vec_id")
+        .selectExpr(
+            "*",
+            "aggregate(zip_with(qe, ce, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x) / "
+            f"({nrm('qe')} * {nrm('ce')}) AS cos",
+        )
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc(F.round("cos", 6)), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("q_id", "rnk", "vec_id", F.round("cos", 4).alias("cos_sim"))
-    )
+    return scored.selectExpr(
+        "q_id",
+        "row_number() OVER (PARTITION BY q_id "
+        "ORDER BY round(cos, 6) DESC, vec_id ASC) AS rnk",
+        "vec_id",
+        "round(cos, 4) AS cos_sim",
+    ).where("rnk <= 5")
 
 
 Q_COSINE_SQL = """
