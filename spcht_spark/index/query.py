@@ -166,6 +166,51 @@ def apply_grouped_cached(
     return df.__class__(jdf, spark)
 
 
+def apply_cogrouped_cached(
+    left: DataFrame,
+    right: DataFrame,
+    group_cols: list[str],
+    func,
+    schema,
+    name: str,
+) -> DataFrame:
+    """``left.groupBy(...).cogroup(right.groupBy(...)).applyInPandas``
+    with the pandas UDF built once per (session, name) — the cogrouped
+    twin of :func:`apply_grouped_cached`. Same JVM entry point
+    (``flatMapCoGroupsInPandas``), identical plan; ``func`` must be
+    module-level and closure-free."""
+    spark = left.sparkSession
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect — mixin path
+        return (
+            left.groupBy(*group_cols)
+            .cogroup(right.groupBy(*group_cols))
+            .applyInPandas(func, schema)
+        )
+    memo_key = (app_id, name)
+    udf = _GROUPED_UDF_MEMO.get(memo_key)
+    if udf is None:
+        from pyspark.sql.pandas.functions import pandas_udf
+        from pyspark.util import PythonEvalType
+
+        udf = pandas_udf(
+            func,
+            returnType=schema,
+            functionType=PythonEvalType.SQL_COGROUPED_MAP_PANDAS_UDF,
+        )
+        for k in [k for k in _GROUPED_UDF_MEMO if k[0] != app_id]:
+            del _GROUPED_UDF_MEMO[k]
+        _GROUPED_UDF_MEMO[memo_key] = udf
+    gd1 = left.groupBy(*group_cols)
+    gd2 = right.groupBy(*group_cols)
+    udf_column = udf(
+        *[left[c] for c in left.columns], *[right[c] for c in right.columns]
+    )
+    jdf = gd1._jgd.flatMapCoGroupsInPandas(gd2._jgd, udf_column._jc)
+    return left.__class__(jdf, spark)
+
+
 def decode_blocks(blocks: DataFrame) -> DataFrame:
     """blocks → flat (term, doc_id, tf, dl) via Arrow-batched numpy decode.
 

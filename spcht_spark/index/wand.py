@@ -37,6 +37,7 @@ from spcht_spark.index.compress import BLOCK_SIZE as _BLOCK_SIZE
 from spcht_spark.index.compress import varbyte_decode
 from spcht_spark.index.query import (
     TOPK_SCHEMA,
+    apply_cogrouped_cached,
     apply_grouped_cached,
     query_idfs,
     sql_in,
@@ -309,6 +310,29 @@ def _wand_run_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _wand_run_filtered(key, blocks_pdf: pd.DataFrame, allowed_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Filtered-WAND cogroup runner, closure-free (see _wand_run_group;
+    k/idf/avgdl ride the blocks side's joined query_terms columns)."""
+    query_id = key[0]
+    if len(blocks_pdf) == 0 or len(allowed_pdf) == 0:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )  # no postings here, or nothing admissible
+    k = int(blocks_pdf["k"].iloc[0])
+    avgdl = float(blocks_pdf["avgdl"].iloc[0])
+    idfs = dict(zip(blocks_pdf["term"], (float(x) for x in blocks_pdf["idf"])))
+    allowed = np.asarray(allowed_pdf["allowed"].iat[0], dtype=np.int64)
+    res = _wand_one_group(blocks_pdf, k, idfs, avgdl, allowed=allowed)
+    return pd.DataFrame(
+        {"query_id": query_id, "doc_id": [d for d, _ in res],
+         "score": [s for _, s in res]}
+    )
+
+
 def _and_run_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
     """Conjunctive group runner, closure-free (see _wand_run_group)."""
     query_id = key[0]
@@ -491,28 +515,12 @@ def wand_topk(
         # replicate the per-shard array per query (|queries| is tiny) so
         # the cogroup key matches the blocks' (query_id, shard) grouping
         qdf = values_df(spark, [(qid,) for qid in sorted(ks)], ["query_id"])
-        ga = allowed_by_shard.crossJoin(F.broadcast(qdf)).groupBy("query_id", "shard")
+        ga = allowed_by_shard.crossJoin(F.broadcast(qdf))
 
-        def run_filtered(key, blocks_pdf: pd.DataFrame, allowed_pdf: pd.DataFrame) -> pd.DataFrame:
-            query_id = key[0]
-            empty = pd.DataFrame(
-                {
-                    "query_id": pd.Series(dtype="object"),
-                    "doc_id": pd.Series(dtype="int64"),
-                    "score": pd.Series(dtype="float64"),
-                }
-            )
-            if len(blocks_pdf) == 0 or len(allowed_pdf) == 0:
-                return empty  # no postings here, or nothing admissible
-            allowed = np.asarray(allowed_pdf["allowed"].iat[0], dtype=np.int64)
-            res = _wand_one_group(blocks_pdf, ks[query_id], idfs, avgdl, allowed=allowed)
-            return pd.DataFrame(
-                {"query_id": query_id, "doc_id": [d for d, _ in res],
-                 "score": [s for _, s in res]}
-            )
-
-        cand = hit.groupBy("query_id", "shard").cogroup(ga).applyInPandas(
-            run_filtered, schema=_CAND_SCHEMA
+        cand = apply_cogrouped_cached(
+            hit.drop("term_hash", "n_docs", "cf"), ga,
+            ["query_id", "shard"], _wand_run_filtered, _CAND_SCHEMA,
+            "wand_run_filtered",
         )
         return topk(cand, ks, n_docs=int(stats_row["n_docs"]))
 
