@@ -29,7 +29,7 @@ from collections import Counter
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spcht_spark.index.query import exact_topk
+from spcht_spark.index.query import exact_topk, sql_in
 from spcht_spark.oracle import idf as idf_py
 from spcht_spark.oracle import tokenize_py
 
@@ -49,8 +49,10 @@ def interesting_terms(
     Tokenization matches the index build (``mode='ws'`` single-space
     split / ``'arrow'`` code-token regex)."""
     rows = (
-        doc_store.filter(F.col(id_col).isin([int(s) for s in seed_ids]))
-        .select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content"))
+        doc_store.where(
+            f"`{id_col}` IN ({', '.join(str(int(s)) for s in seed_ids)})"
+        )
+        .selectExpr(f"`{id_col}` AS doc_id", f"`{content_col}` AS content")
         .collect()
     )
     n_docs = int(stats_row["n_docs"])
@@ -65,10 +67,10 @@ def interesting_terms(
     all_terms = sorted({t for c in tfs.values() for t in c})
     dfs = {
         r["term"]: int(r["df"])
-        for r in dictionary.filter(F.col("term").isin(all_terms))
+        for r in dictionary.where(f"term IN ({sql_in(all_terms)})")
         .select("term", "df")
         .collect()
-    }
+    } if all_terms else {}
     out: dict[int, list[str]] = {}
     for seed, c in tfs.items():
         ws = [
@@ -96,8 +98,10 @@ def interesting_terms_detail(
     exactly as :func:`interesting_terms` ranks them (Solr returns the
     chosen terms with their boosts when details is requested)."""
     rows = (
-        doc_store.filter(F.col(id_col).isin([int(s) for s in seed_ids]))
-        .select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content"))
+        doc_store.where(
+            f"`{id_col}` IN ({', '.join(str(int(s)) for s in seed_ids)})"
+        )
+        .selectExpr(f"`{id_col}` AS doc_id", f"`{content_col}` AS content")
         .collect()
     )
     n_docs = int(stats_row["n_docs"])
@@ -112,10 +116,10 @@ def interesting_terms_detail(
     all_terms = sorted({t for c in tfs.values() for t in c})
     dfs = {
         r["term"]: int(r["df"])
-        for r in dictionary.filter(F.col("term").isin(all_terms))
+        for r in dictionary.where(f"term IN ({sql_in(all_terms)})")
         .select("term", "df")
         .collect()
-    }
+    } if all_terms else {}
     out: list[tuple[str, int, str, float]] = []
     for seed in sorted(tfs):
         c = tfs[seed]

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spcht_spark.index.query import decode_blocks
+from spcht_spark.index.query import decode_blocks, sql_in, values_df
 
 
 def suggest(
@@ -36,7 +36,7 @@ def suggest(
     dictionary terms within ``max_distance`` edits of each input term.
     Exact hits (distance 0) are excluded: a correctly-spelled term
     needs no correction."""
-    q = spark.createDataFrame([(t,) for t in sorted(set(terms))], ["qterm"])
+    q = values_df(spark, [(t,) for t in sorted(set(terms))], ["qterm"])
     cand = (
         dictionary.select("term", "df")
         .crossJoin(F.broadcast(q))
@@ -84,10 +84,10 @@ def spellcheck_collate(
     all_terms = sorted({t for _, ts in queries for t in ts})
     known = {
         r["term"]
-        for r in dictionary.filter(F.col("term").isin(all_terms))
+        for r in dictionary.where(f"term IN ({sql_in(all_terms)})")
         .select("term")
         .collect()
-    }
+    } if all_terms else set()
     missing = sorted(set(all_terms) - known)
     best: dict[str, str] = {}
     if missing:
@@ -96,7 +96,8 @@ def spellcheck_collate(
         ).collect()
         best = {r["qterm"]: r["suggestion"] for r in top}
     coll = {qid: [best.get(t, t) for t in ts] for qid, ts in queries}
-    base = spark.createDataFrame(
+    base = values_df(
+        spark,
         [(qid, " ".join(coll[qid])) for qid, _ in queries],
         ["query_id", "collation"],
     )
@@ -104,9 +105,9 @@ def spellcheck_collate(
         (qid, t) for qid, ts in coll.items() for t in sorted(set(ts))
     ]
     n_terms = {qid: len(set(ts)) for qid, ts in coll.items()}
-    query_terms = spark.createDataFrame(qrows, ["query_id", "term"])
+    query_terms = values_df(spark, qrows, ["query_id", "term"])
     need = sorted({t for _, t in qrows})
-    postings = decode_blocks(blocks.filter(F.col("term").isin(need))).select(
+    postings = decode_blocks(blocks.where(f"term IN ({sql_in(need)})")).select(
         "term", "doc_id"
     )
     nt_map = F.create_map(
@@ -201,10 +202,10 @@ def spellcheck_collate_q(
     all_terms = sorted({t for ast in raw_asts for t in ast_terms(ast)})
     known = {
         r["term"]
-        for r in dictionary.filter(F.col("term").isin(all_terms))
+        for r in dictionary.where(f"term IN ({sql_in(all_terms)})")
         .select("term")
         .collect()
-    }
+    } if all_terms else set()
     missing = sorted(set(all_terms) - known)
     best: dict[str, str] = {}
     if missing:
@@ -216,7 +217,8 @@ def spellcheck_collate_q(
         qid: " ".join(_collate_token(t, known, best, fold) for t in _lex(q))
         for qid, q in queries
     }
-    base = spark.createDataFrame(
+    base = values_df(
+        spark,
         [(qid, collations[qid]) for qid, _ in queries],
         ["query_id", "collation"],
     )
@@ -266,7 +268,7 @@ def complete(
         return spark.createDataFrame(
             [], schema="prefix string, rank int, suggestion string, weight long"
         )
-    pdf = spark.createDataFrame([(p,) for p in ps], ["prefix"])
+    pdf = values_df(spark, [(p,) for p in ps], ["prefix"])
     # one disjunctive pushdown predicate for the whole batch keeps the
     # dictionary scan pruned before the broadcast-join fan-out
     pushed = None

@@ -50,8 +50,8 @@ def term_vectors(
 
     tf_idf = tf / df, Solr TermVectorComponent's definition."""
     ids = sorted({int(d) for d in doc_ids})
-    docs = doc_store.select("doc_id", "content").filter(
-        F.col("doc_id").isin(ids)
+    docs = doc_store.select("doc_id", "content").where(
+        f"doc_id IN ({', '.join(str(i) for i in ids)})"
     )
     toks = _TOKENIZERS[tokenizer](docs, analyzer=analyzer).select(
         "doc_id", "term", "tf"
