@@ -390,11 +390,12 @@ def q_index_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer BM25 top-k exactly as an index built from `documents`
     directly — i.e. the unchanged _bm25_sql oracle."""
     from spcht_spark.index.build import build_index
-    from spcht_spark.index.query import exact_topk
+    from spcht_spark.index.query import exact_topk, values_df
     from spcht_spark.index.update import update_index
 
     corpus = _index_corpus(spark, sf_dir)
-    doomed = spark.createDataFrame(
+    doomed = values_df(
+        spark,
         [(10_000_000 + i, f"doomed doc {i} spark join window dup hash") for i in range(8)],
         ["doc_id", "content"],
     )

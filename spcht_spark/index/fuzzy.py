@@ -28,7 +28,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spcht_spark.index.query import exact_topk
+from spcht_spark.index.query import exact_topk, values_df
 
 _FUZZY_RE = re.compile(r"^(.+?)~([012])$")
 
@@ -62,7 +62,8 @@ def expand_fuzzy(
             fuzzy[qt] = (base, dist)
     if not fuzzy:
         return out
-    q = spark.createDataFrame(
+    q = values_df(
+        spark,
         [(qt, base, dist) for qt, (base, dist) in sorted(fuzzy.items())],
         ["qterm", "base", "dist"],
     )

@@ -385,7 +385,8 @@ def facet_query_counts(
             "query_id", F.lit(name).alias("facet"), F.col(f"__fq_{i}").alias("n")
         )
         counts = one if counts is None else counts.unionByName(one)
-    pairs = spark.createDataFrame(
+    pairs = values_df(
+        spark,
         [(qid, name) for qid, _ in queries for name in sorted(parsed)],
         ["query_id", "facet"],
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spcht_spark.index.query import exact_topk
+from spcht_spark.index.query import exact_topk, values_df
 
 
 def expand_prefix(
@@ -102,7 +102,8 @@ def expand_wildcards(
     spark = dictionary.sparkSession
     if not patterns:
         return {}
-    pats = spark.createDataFrame(
+    pats = values_df(
+        spark,
         [(p, wildcard_regex(p)) for p in sorted(set(patterns))],
         ["pattern", "rx"],
     )

@@ -110,7 +110,9 @@ def _config_frame(
         return spark.createDataFrame(
             [], f"query_id string, {value_name} long, pos int"
         )
-    return spark.createDataFrame(rows, ["query_id", value_name, "pos"])
+    from spcht_spark.index.query import values_df
+
+    return values_df(spark, rows, ["query_id", value_name, "pos"])
 
 
 def elevate_hits(
