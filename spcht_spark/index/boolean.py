@@ -792,46 +792,60 @@ def boolean_matches_ast(
     # single-expr contrib (idf map + BM25 + boost gate) and fold — one
     # py4j call each instead of ~100 per-Column round-trips (see
     # index.query.score_postings); doubles via repr()+CAST, bit-exact
+    from spcht_spark.index.query import SALT_MIN_DOCS, sql_esc, sql_str
+
     idf_map = sql_map(sorted(idfs.items()), sql_double)
-    contrib = postings.join(F.broadcast(query_terms), "term").selectExpr(
-        "*",
-        # Lucene per-term boost (term^2.5); 1.0 default
+    # Lucene per-term boost (term^2.5); 1.0 default
+    contrib_expr = (
         f"CASE WHEN is_pos THEN boost * {idf_map}[term] * "
         f"((tf * {sql_double(K1 + 1.0)}) / (tf + {sql_double(K1)} * "
         f"({sql_double(1.0 - B)} + {sql_double(B)} * (dl / {sql_double(avgdl)})))) "
-        "ELSE CAST(0.0 AS DOUBLE) END AS contrib",
+        "ELSE CAST(0.0 AS DOUBLE) END"
     )
-    from spcht_spark.index.query import SALT_MIN_DOCS
-
+    inner = (
+        f"SELECT /*+ BROADCAST(q) */ *, {sql_esc(contrib_expr)} AS contrib "
+        "FROM {postings} AS p JOIN {qt} AS q USING (term)"
+    )
     if int(stats_row["n_docs"]) < SALT_MIN_DOCS:
         # proven-small corpus: partition by query_id alone so the
         # (query_id, doc_id) agg, the predicate filter and the caller's
         # top-k window share ONE exchange (see index.query.score_postings
         # — the same SALT_MIN_DOCS gate; large corpora keep the salted
         # two-exchange shape that prevents hot-query stragglers)
-        n = int(contrib.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        contrib = contrib.repartition(n, "query_id")
-    g = contrib.groupBy("query_id", "doc_id").agg(
-        F.expr(
-            "aggregate(array_sort(collect_list(struct(term, contrib))), "
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)"
-        ).alias("score"),
-        F.expr("collect_set(term)").alias("present"),
+        n = int(postings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        inner = f"SELECT /*+ REPARTITION({n}, query_id) */ * FROM ({inner})"
+    g_sql = (
+        "SELECT query_id, doc_id, "
+        "aggregate(array_sort(collect_list(struct(term, contrib))), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib) AS score, "
+        f"collect_set(term) AS present FROM ({inner}) "
+        "GROUP BY query_id, doc_id"
     )
-    if need_fields:
-        g = g.join(attrs.selectExpr("doc_id", *need_fields), "doc_id", "left")
     # one predicate for all queries (CASE WHEN query_id=... THEN ast_i),
     # rendered as a single SQL string — same nesting as the old
     # when/otherwise fold (later queries checked first)
-    from spcht_spark.index.query import sql_str
-
     pred_sql = "false"
     for qid, ast, _ in parsed:
         pred_sql = (
             f"CASE WHEN query_id = {sql_str(qid)} THEN "
             f"({ast_to_spark_sql(ast)}) ELSE ({pred_sql}) END"
         )
-    admissible = g.where(pred_sql).selectExpr("query_id", "doc_id", "score")
+    spark_s = postings.sparkSession
+    if need_fields:
+        # attr-clause queries join candidate rows against the attrs
+        # projection before the predicate — the rare path keeps ops
+        g = spark_s.sql(g_sql, postings=postings, qt=query_terms)
+        g = g.join(attrs.selectExpr("doc_id", *need_fields), "doc_id", "left")
+        admissible = g.where(pred_sql).selectExpr("query_id", "doc_id", "score")
+    else:
+        # hot path: scoring agg + predicate + projection in the SAME
+        # statement — one plan analysis end to end
+        admissible = spark_s.sql(
+            "SELECT query_id, doc_id, score FROM "
+            f"({g_sql}) WHERE {sql_esc(pred_sql)}",
+            postings=postings,
+            qt=query_terms,
+        )
     if doc_filter is not None:
         # Solr fq semantics: restrict candidates AFTER scoring — the
         # filter never changes idf/avgdl. Semi-join on candidate rows

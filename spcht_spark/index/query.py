@@ -314,6 +314,13 @@ def sql_str(s: str) -> str:
     return "'" + str(s).replace("'", "''") + "'"
 
 
+def sql_esc(s: str) -> str:
+    """Escape literal braces for ``spark.sql``'s arg templating (a
+    string.Formatter — '{{' renders '{'). Needed wherever code tokens
+    like '{' can appear inside an embedded SQL literal."""
+    return s.replace("{", "{{").replace("}", "}}")
+
+
 def sql_in(values) -> str:
     """Comma-joined string literals for a ``term IN (...)`` predicate.
 
@@ -362,8 +369,14 @@ def score_postings(
         f"(tf + {sql_double(K1)} * ({sql_double(1.0 - B)} + "
         f"{sql_double(B)} * (dl / {sql_double(avgdl)}))))"
     )
-    contrib = postings.join(query_terms, "term").selectExpr(
-        "*", f"{contrib_expr} AS contrib"
+    # join + contrib projection + (optional) repartition + aggregation
+    # as ONE df-parametrized sql statement — one JVM plan analysis
+    # instead of four (each DataFrame op re-analyzes the whole tree,
+    # ~8-12 ms/op on this host). sql_esc doubles literal braces (code
+    # tokens like '{' appear in the idf map) for the arg formatter.
+    inner = (
+        f"SELECT *, {sql_esc(contrib_expr)} AS contrib "
+        "FROM {postings} JOIN {qt} USING (term)"
     )
     if pre_partition:
         # One exchange instead of two for PROVEN-SMALL corpora (the
@@ -376,14 +389,15 @@ def score_postings(
         # would funnel a hot query's candidates through one partition —
         # exactly the straggler the salted two-stage top-k exists to
         # avoid — so large corpora keep the standard shape.
-        n = int(contrib.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        contrib = contrib.repartition(n, "query_id")
-    return contrib.groupBy("query_id", "doc_id").agg(
-        F.expr(
-            "aggregate(array_sort(collect_list(struct(term, contrib))), "
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)"
-        ).alias("score"),
-        F.expr("count(1)").alias("n_matched"),
+        n = int(postings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        inner = f"SELECT /*+ REPARTITION({n}, query_id) */ * FROM ({inner})"
+    return postings.sparkSession.sql(
+        "SELECT query_id, doc_id, "
+        "aggregate(array_sort(collect_list(struct(term, contrib))), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib) AS score, "
+        f"count(1) AS n_matched FROM ({inner}) GROUP BY query_id, doc_id",
+        postings=postings,
+        qt=query_terms,
     )
 
 
@@ -411,29 +425,27 @@ def topk(
     semantically a no-op, so it is SKIPPED when the caller proves the
     corpus is small (``n_docs`` < SALT_MIN_DOCS) — same rows out.
 
-    Built as SQL expression strings (k map, ranked windows) — one py4j
-    call each instead of ~150 per-Column round-trips."""
-    k_map = sql_map(sorted(ks.items()), lambda k: str(int(k)))
-    pre = scores
+    Built as ONE df-parametrized ``spark.sql`` statement: every
+    DataFrame op re-analyzes its whole (deep) tree JVM-side — measured
+    ~8-12 ms per op on this host — so a 6-op window chain paid more in
+    plan analysis than in py4j traffic. One statement = one analysis."""
+    # spark.sql's arg templating is a string.Formatter: literal braces
+    # (possible inside query-id strings) must be doubled to survive
+    k_map = sql_esc(sql_map(sorted(ks.items()), lambda k: str(int(k))))
+    src = "{scores}"
     if n_docs is None or n_docs >= SALT_MIN_DOCS:
-        pre = (
-            pre.selectExpr(
-                "*",
-                "row_number() OVER (PARTITION BY query_id, "
-                "pmod(xxhash64(doc_id), 64) ORDER BY score DESC, doc_id ASC)"
-                " AS r1",
-            )
-            .where(f"r1 <= {k_map}[query_id]")
-            .drop("r1")
+        src = (
+            "(SELECT query_id, doc_id, score FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id, "
+            "pmod(xxhash64(doc_id), 64) ORDER BY score DESC, doc_id ASC)"
+            f" AS r1 FROM {{scores}}) WHERE r1 <= {k_map}[query_id])"
         )
-    return (
-        pre.selectExpr(
-            "*",
-            "row_number() OVER (PARTITION BY query_id "
-            "ORDER BY score DESC, doc_id ASC) AS rank",
-        )
-        .where(f"rank <= {k_map}[query_id]")
-        .selectExpr("query_id", "rank", "doc_id", "score")
+    return scores.sparkSession.sql(
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, score, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank "
+        f"FROM {src}) WHERE rank <= {k_map}[query_id]",
+        scores=scores,
     )
 
 
