@@ -398,16 +398,26 @@ def and_topk(
     query_terms = values_df(
         spark, qrows, ["query_id", "term", "idf", "n_terms", "avgdl"]
     )
-    hit = blocks.where(f"term IN ({sql_in(sorted(idfs))})").join(
-        F.broadcast(query_terms), "term"
-    )
+    # pruned scan + broadcast join + column prune (term_hash/n_docs/cf
+    # never reach the runner) + the pinned grouping repartition as ONE
+    # parametrized statement — one plan analysis instead of four, and
+    # the REPARTITION hint is the same AQE-honored REPARTITION_BY_NUM
+    # shape _pin_groups produced (see that docstring for why the
+    # compute-heavy Python stage must not be byte-coalesced)
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from spcht_spark.index.query import sql_esc
 
-    # prune columns the group runner never reads (term_hash, n_docs,
-    # cf) BEFORE the grouping shuffle — fewer shuffled bytes and fewer
-    # py4j column args per call
+    pinned = spark.sql(
+        f"SELECT /*+ REPARTITION({n_shuffle}, query_id, shard), BROADCAST(q) */ "
+        "term, shard, block_seq, first_doc, last_doc, docs_bin, tfs_bin, "
+        "dls_bin, max_part, query_id, idf, n_terms, avgdl "
+        "FROM {blocks} AS p JOIN {qt} AS q USING (term) "
+        f"WHERE term IN ({sql_esc(sql_in(sorted(idfs)))})",
+        blocks=blocks,
+        qt=query_terms,
+    )
     cand = apply_grouped_cached(
-        _pin_groups(hit.drop("term_hash", "n_docs", "cf")),
-        ["query_id", "shard"], _and_run_group, _CAND_SCHEMA, "and_run",
+        pinned, ["query_id", "shard"], _and_run_group, _CAND_SCHEMA, "and_run",
     )
     if doc_filter is not None:
         cand = cand.join(doc_filter.select("doc_id"), "doc_id", "semi")
@@ -481,9 +491,13 @@ def wand_topk(
         spark, qrows, ["query_id", "term", "idf", "k", "avgdl"]
     )
 
-    hit = blocks.where(f"term IN ({sql_in(sorted(idfs))})").join(
-        F.broadcast(query_terms), "term"
-    )
+    def make_hit():
+        # full-width hit frame for the cascade/filtered paths; the
+        # single-phase path below builds its pruned+pinned variant as
+        # one statement instead and never constructs this
+        return blocks.where(f"term IN ({sql_in(sorted(idfs))})").join(
+            F.broadcast(query_terms), "term"
+        )
 
     def runner(theta0s: dict[str, float]):
         def run(
@@ -518,7 +532,7 @@ def wand_topk(
         ga = allowed_by_shard.crossJoin(F.broadcast(qdf))
 
         cand = apply_cogrouped_cached(
-            hit.drop("term_hash", "n_docs", "cf"), ga,
+            make_hit().drop("term_hash", "n_docs", "cf"), ga,
             ["query_id", "shard"], _wand_run_filtered, _CAND_SCHEMA,
             "wand_run_filtered",
         )
@@ -551,7 +565,7 @@ def wand_topk(
                 blocks_lo += int(math.ceil(df_est / _BLOCK_SIZE))
         theta_cascade = blocks_lo >= _CASCADE_MIN_BLOCKS
         if theta_cascade:
-            probe = hit.agg(
+            probe = make_hit().agg(
                 F.countDistinct("shard").alias("n_shards"),
                 F.count(F.lit(1)).alias("n_blocks"),
             ).collect()[0]
@@ -560,16 +574,33 @@ def wand_topk(
                 and int(probe["n_blocks"]) >= _CASCADE_MIN_BLOCKS
             )
     if not theta_cascade:
+        # pruned scan + broadcast join + column prune + the pinned
+        # grouping repartition as ONE parametrized statement (one plan
+        # analysis instead of four; see and_topk — the REPARTITION hint
+        # is the AQE-honored REPARTITION_BY_NUM shape _pin_groups used)
+        from spcht_spark.index.query import sql_esc
+
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        pinned = spark.sql(
+            f"SELECT /*+ REPARTITION({n_shuffle}, query_id, shard), "
+            "BROADCAST(q) */ "
+            "term, shard, block_seq, first_doc, last_doc, docs_bin, "
+            "tfs_bin, dls_bin, max_part, query_id, idf, k, avgdl "
+            "FROM {blocks} AS p JOIN {qt} AS q USING (term) "
+            f"WHERE term IN ({sql_esc(sql_in(sorted(idfs)))})",
+            blocks=blocks,
+            qt=query_terms,
+        )
         cand = apply_grouped_cached(
-            _pin_groups(hit.drop("term_hash", "n_docs", "cf")),
-            ["query_id", "shard"], _wand_run_group, _CAND_SCHEMA, "wand_run",
+            pinned, ["query_id", "shard"], _wand_run_group, _CAND_SCHEMA,
+            "wand_run",
         )
         return topk(cand, ks, n_docs=int(stats_row["n_docs"]))
 
     # two-phase execution re-reads `hit` (seed wave, then the rest) —
     # materialize it once; the single-phase path above stays a pure
     # lazy plan (AQE coalesces its shuffles, no RDD conversion)
-    hit = hit.localCheckpoint(eager=False)
+    hit = make_hit().localCheckpoint(eager=False)
 
     # Phase 1 — seed: hottest shard per query (ties: lowest shard).
     from pyspark.sql import Window
