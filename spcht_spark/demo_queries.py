@@ -141,72 +141,57 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dl rides every token row (computed in the tokenize batch), so the
     # former corpus-wide dl aggregation + equi-join on doc_id is gone;
     # stats dedup the carried dl to one row per doc (narrow agg).
-    dl_docs = tf.groupBy("doc_id").agg(F.expr("max(dl)").alias("dl"))
-    stats = dl_docs.agg(
-        F.expr("count(1)").alias("n_docs"),
-        F.expr("CAST(sum(dl) AS DOUBLE) / count(1)").alias("avgdl"),
-    )
-    # Only the query terms' df values are ever consumed (the join with
-    # q below), but Catalyst cannot push the join's term set into the
-    # aggregation — an explicit pre-filter prunes the df agg (and the
-    # postings join input) from |all (doc, term) pairs| to the query
-    # terms' rows (guide §2.3 "aggregate before you shuffle" / project
-    # early). dl/stats stay corpus-wide — BM25 semantics.
-    from spcht_spark.index.query import sql_double, sql_in, values_df
-
-    qterms = sorted({t for _, ts in DOC_QUERIES for t in ts})
-    tfq = tf.where(f"term IN ({sql_in(qterms)})")
-    dft = tfq.groupBy("term").agg(F.expr("count(1)").alias("df"))
-
-    # inline VALUES (pure-JVM LocalRelation) instead of a parallelize-
-    # backed createDataFrame: the latter adds a python-task stage to
-    # every broadcast build of this 12-row table (see values_df).
-    q = values_df(
-        spark, [(qid, t) for qid, ts in DOC_QUERIES for t in ts],
-        ["query_id", "term"],
-    )
-    # BM25 contribution + windows as single expr strings (one py4j call
-    # each instead of ~800 for the per-Column build — measured 0.43 s of
-    # plan construction per call; see index.query.score_postings).
+    # The whole post-tokenize pipeline is ONE df-parametrized sql
+    # statement (one JVM plan analysis instead of ~12 incremental ops —
+    # each op re-analyzes its whole tree, ~8-12 ms apiece on this
+    # host; OPTIMIZATION_r06.md lever 17). Shapes preserved verbatim:
+    # * tfq pre-filters the df agg to the query terms (guide §2.3 —
+    #   Catalyst cannot push the join's term set into the aggregation);
+    #   dl/stats stay corpus-wide, BM25 semantics;
+    # * the 1-row stats side is broadcast (hint = the old F.broadcast);
+    # * the two-stage salted top-k: per-(query, doc-hash-salt) partial
+    #   top-k first, so no single reducer ever receives every candidate
+    #   of one query (a straggler/OOM shape at 100× corpus); the union
+    #   of per-salt top-k ⊇ global top-k, so the final narrow window
+    #   over ≤ 64·k rows/query is exact.
     # Doubles via repr()+CAST (bit-exact; bare SQL decimals would parse
     # as DECIMAL and change the arithmetic).
+    from spcht_spark.index.query import sql_double, sql_in
+
+    qterms = sorted({t for _, ts in DOC_QUERIES for t in ts})
+    q_vals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in DOC_QUERIES for t in ts
+    )
     D = sql_double
     contrib = (
         f"ln({D(1.0)} + (n_docs - df + {D(0.5)}) / (df + {D(0.5)}))"
         f" * (tf * {D(2.2)})"
         f" / (tf + {D(1.2)} * ({D(0.25)} + {D(0.75)} * (dl / avgdl)))"
     )
-    scored = (
-        q.join(dft, "term")
-        .join(tfq, "term")
-        .crossJoin(F.broadcast(stats))
-        .selectExpr("*", f"{contrib} AS contrib")
-        .groupBy("query_id", "doc_id")
-        .agg(F.expr("sum(contrib)").alias("raw"))
-    )
-    # Two-stage top-k: per-(query, doc-hash-salt) partial top-k first, so
-    # no single reducer ever receives every candidate doc of a query (the
-    # plain per-query window is ≤|queries| tasks — a straggler/OOM shape
-    # at 100× corpus). Union of per-salt top-k ⊇ global top-k, so the
-    # final narrow window over ≤ 64·k rows/query is exact.
-    pre = (
-        scored.selectExpr(
-            "*",
-            "row_number() OVER (PARTITION BY query_id, "
-            "pmod(xxhash64(doc_id), 64) "
-            "ORDER BY round(raw, 6) DESC, doc_id ASC) AS r1",
-        )
-        .where(f"r1 <= {DOC_K}")
-        .drop("r1")
-    )
-    return (
-        pre.selectExpr(
-            "*",
-            "row_number() OVER (PARTITION BY query_id "
-            "ORDER BY round(raw, 6) DESC, doc_id ASC) AS rank",
-        )
-        .where(f"rank <= {DOC_K}")
-        .selectExpr("query_id", "rank", "doc_id", "round(raw, 4) AS score")
+    return spark.sql(
+        f"""
+WITH q (query_id, term) AS (VALUES {q_vals}),
+  tfq AS (SELECT * FROM {{tf}} WHERE term IN ({sql_in(qterms)})),
+  dft AS (SELECT term, count(1) AS df FROM tfq GROUP BY term),
+  dl_docs AS (SELECT doc_id, max(dl) AS dl FROM {{tf}} GROUP BY doc_id),
+  stats AS (SELECT count(1) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(1) AS avgdl FROM dl_docs),
+  scored AS (
+    SELECT /*+ BROADCAST(s) */ query_id, doc_id, sum({contrib}) AS raw
+    FROM q JOIN dft USING (term) JOIN tfq USING (term) CROSS JOIN stats s
+    GROUP BY query_id, doc_id),
+  pre AS (
+    SELECT query_id, doc_id, raw FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id,
+        pmod(xxhash64(doc_id), 64)
+        ORDER BY round(raw, 6) DESC, doc_id ASC) AS r1
+      FROM scored) WHERE r1 <= {DOC_K})
+SELECT query_id, rank, doc_id, round(raw, 4) AS score FROM (
+  SELECT query_id, doc_id, raw, row_number() OVER (PARTITION BY query_id
+    ORDER BY round(raw, 6) DESC, doc_id ASC) AS rank
+  FROM pre) WHERE rank <= {DOC_K}
+""",
+        tf=tf,
     )
 
 
